@@ -1,0 +1,173 @@
+"""Facet → Column-predicate lowering (reference: xmlschema/validators/facets.py).
+
+Every facet lowers to a pure JVM-side Column predicate — no Python in the hot path.
+The contract mirrors the reference's decode pipeline (``simple_types.py:488-503``):
+facets judge *present* values only (a null passes every facet; required-ness is the
+separate :class:`~sissaschool_xmlschema_spark.spec.Required` check, exactly like the
+reference separates facet validation from attribute ``use='required'``
+(attributes.py:663-664)).
+
+Each lowering returns ``(ok, reason)``: ``ok`` is a BooleanType Column that is True
+for passing rows, ``reason`` a human-readable message patterned on
+``XMLSchemaValidationError.reason`` strings (exceptions.py:316-339).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.xsd_regex import translate_and_anchor
+
+_REASON_MAX = 200  # error message value truncation, exceptions.py:328-329
+
+
+def _null_ok(col: Column, pred: Column) -> Column:
+    return col.isNull() | pred
+
+
+def lower_facet(facet: S.Facet, column: str) -> Tuple[Column, str]:
+    """Lower one facet on ``column`` to (ok_predicate, reason)."""
+    c = F.col(column)
+
+    if isinstance(facet, S.Enumeration):
+        vals = list(facet.values)
+        pred = c.isin(vals)
+        # NaN special case (facets.py:689-698): enum containing NaN admits NaN.
+        if any(isinstance(v, float) and math.isnan(v) for v in vals):
+            pred = pred | F.isnan(c)
+        shown = vals[:5]  # enum repr caps at 5 items, facets.py:677-683
+        return _null_ok(c, pred), f"value must be one of {shown!r}"
+
+    if isinstance(facet, S.Pattern):
+        # match-any across patterns (facets.py:798-804), full-match anchored.
+        anchored = [translate_and_anchor(p) for p in facet.patterns]
+        pred = c.rlike(anchored[0])
+        for p in anchored[1:]:
+            pred = pred | c.rlike(p)
+        return _null_ok(c, pred), (
+            f"pattern mismatch: value doesn't match any of {list(facet.patterns)!r}"
+        )
+
+    if isinstance(facet, S.Length):
+        return _null_ok(c, F.length(c) == facet.value), (
+            f"length has to be {facet.value}"
+        )
+    if isinstance(facet, S.MinLength):
+        return _null_ok(c, F.length(c) >= facet.value), (
+            f"value length cannot be lesser than {facet.value}"
+        )
+    if isinstance(facet, S.MaxLength):
+        return _null_ok(c, F.length(c) <= facet.value), (
+            f"value length cannot be greater than {facet.value}"
+        )
+
+    if isinstance(facet, S.MinInclusive):
+        return _null_ok(c, c >= F.lit(facet.value)), (
+            f"value has to be greater or equal than {facet.value}"
+        )
+    if isinstance(facet, S.MinExclusive):
+        return _null_ok(c, c > F.lit(facet.value)), (
+            f"value has to be greater than {facet.value}"
+        )
+    if isinstance(facet, S.MaxInclusive):
+        return _null_ok(c, c <= F.lit(facet.value)), (
+            f"value has to be lesser or equal than {facet.value}"
+        )
+    if isinstance(facet, S.MaxExclusive):
+        return _null_ok(c, c < F.lit(facet.value)), (
+            f"value has to be lesser than {facet.value}"
+        )
+
+    if isinstance(facet, S.TotalDigits):
+        # count_digits on the decimal string form (utils/decoding.py:32-52):
+        # strip sign, point and leading/trailing zeros around them.
+        digits = F.length(
+            F.regexp_replace(
+                F.regexp_replace(c.cast("string"), r"^[+-]?0*|\.?0*$", ""), r"\.", ""
+            )
+        )
+        return _null_ok(c, digits <= facet.value), (
+            f"the number of digits has to be lesser or equal than {facet.value}"
+        )
+    if isinstance(facet, S.FractionDigits):
+        frac = F.length(F.regexp_extract(c.cast("string"), r"\.(\d*?)0*$", 1))
+        return _null_ok(c, frac <= facet.value), (
+            f"the number of fraction digits has to be lesser or equal than "
+            f"{facet.value}"
+        )
+
+    if isinstance(facet, S.WhiteSpace):
+        if facet.value == "preserve":
+            return F.lit(True), "whiteSpace=preserve admits every value"
+        if facet.value == "replace":
+            # replace-mode validator rejects tab/newline/CR (facets.py:129-134)
+            return _null_ok(c, ~c.rlike("[\\t\\n\\r]")), (
+                "value contains tabs or newlines (whiteSpace=replace)"
+            )
+        if facet.value == "collapse":
+            # collapse additionally rejects double/leading/trailing spaces
+            # (facets.py:136-140)
+            return _null_ok(c, ~c.rlike("^\\s|\\s{2}|[\\t\\n\\r]|\\s$")), (
+                "value contains non-collapsed whitespace (whiteSpace=collapse)"
+            )
+        raise ValueError(f"bad whiteSpace value {facet.value!r}")
+
+    if isinstance(facet, S.ExplicitTimezone):
+        # judged on the raw lexical form (facets.py:551-593); Spark timestamps
+        # are normalized, so the column must be the *string* form.
+        tz = c.rlike("(Z|[+-]\\d{2}:\\d{2})$")
+        if facet.value == "required":
+            return _null_ok(c, tz), "time zone required for value"
+        if facet.value == "prohibited":
+            return _null_ok(c, ~tz), "time zone prohibited for value"
+        return F.lit(True), "explicitTimezone=optional admits every value"
+
+    if isinstance(facet, S.BooleanLexical):
+        return _null_ok(c, c.isin("true", "1", "false", "0")), (
+            "value is not a boolean lexical form {'true','1','false','0'}"
+        )
+
+    if isinstance(facet, S.Required):
+        pred = c.isNotNull()
+        if facet.when:
+            pred = ~F.expr(facet.when) | pred
+        return pred, (
+            f"missing required value for {column!r}"
+            + (f" where {facet.when}" if facet.when else "")
+        )
+
+    if isinstance(facet, S.Prohibited):
+        pred = c.isNull()
+        if facet.when:
+            pred = ~F.expr(facet.when) | pred
+        return pred, (
+            f"prohibited value present for {column!r}"
+            + (f" where {facet.when}" if facet.when else "")
+        )
+
+    if isinstance(facet, S.FixedValue):
+        return _null_ok(c, c == F.lit(facet.value)), (
+            f"must have the fixed value {facet.value!r}"
+        )
+
+    if isinstance(facet, S.Assertion):
+        # assertion facet with $value (facets.py:826-884): 'value' names the column.
+        expr = facet.expr.replace("$value", column).replace("value", column)
+        return _null_ok(c, F.expr(expr)), f"assertion test {facet.expr!r} failed"
+
+    raise ValueError(f"unknown facet {facet!r}")
+
+
+def facet_id(facet: S.Facet, column: str) -> str:
+    """Stable constraint id, e.g. 'facet:role:Enumeration'."""
+    return f"facet:{column}:{type(facet).__name__}"
+
+
+def truncate_value(col: Column) -> Column:
+    """Cast offending value to string, truncated like exceptions.py:328-329."""
+    return F.substring(col.cast("string"), 1, _REASON_MAX)

@@ -1,0 +1,117 @@
+"""XSD regular-expression dialect → Java-regex translation.
+
+The reference delegates this to ``elementpath.translate_pattern``
+(``xmlschema/validators/facets.py:745-759``).  This is a from-scratch minimal
+translator for the subset a tabular transcript spec needs, with the same observable
+semantics:
+
+* **implicit anchoring**: an XSD pattern matches the *whole* value, so the translated
+  pattern is wrapped ``^(?:...)$`` before being handed to ``rlike`` (which is a
+  *search*, not a full match);
+* multi-char escapes ``\\i`` ``\\I`` ``\\c`` ``\\C`` (XML name-start / name chars)
+  expanded to explicit classes (ASCII + common unicode ranges — documented subset);
+* ``.`` in XSD means "any char except newline" exactly like Java — passthrough;
+* character-class subtraction ``[a-z-[aeiou]]`` lowered to Java's intersection
+  ``[a-z&&[^aeiou]]``;
+* XSD has no non-capturing-group/backreference/lookaround extensions — anything
+  unsupported raises so specs fail at compile time on the driver, never on executors.
+"""
+
+from __future__ import annotations
+
+import re
+
+# XML NameStartChar / NameChar per XML 1.0 5th ed, restricted to the BMP — the
+# same classes elementpath expands \i/\c into.
+_NAME_START = (
+    "A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF\\u0370-\\u037D"
+    "\\u037F-\\u1FFF\\u200C-\\u200D\\u2070-\\u218F\\u2C00-\\u2FEF"
+    "\\u3001-\\uD7FF\\uF900-\\uFDCF\\uFDF0-\\uFFFD"
+)
+_NAME_CHAR = _NAME_START + "\\-.0-9\\u00B7\\u0300-\\u036F\\u203F-\\u2040"
+
+_MULTI_CHAR_ESCAPES = {
+    "i": f"[{_NAME_START}]",
+    "I": f"[^{_NAME_START}]",
+    "c": f"[{_NAME_CHAR}]",
+    "C": f"[^{_NAME_CHAR}]",
+}
+
+# Single-char escapes / classes Java shares with XSD: pass through.
+_PASSTHROUGH_ESCAPES = set("nrt\\|.?*+(){}[]^$-sSdDwW")
+
+
+class XsdRegexError(ValueError):
+    """Raised at plan-compile time for unsupported XSD regex constructs."""
+
+
+def translate_pattern(pattern: str) -> str:
+    """Translate one XSD regex to an equivalent (un-anchored) Java regex."""
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= n:
+                raise XsdRegexError(f"dangling backslash in {pattern!r}")
+            esc = pattern[i + 1]
+            if esc in _MULTI_CHAR_ESCAPES:
+                if in_class:
+                    # inside a class, splice the class body (strip brackets);
+                    # negated forms can't be spliced soundly.
+                    if esc in ("I", "C"):
+                        raise XsdRegexError(
+                            f"\\{esc} inside a character class is unsupported"
+                        )
+                    out.append(_MULTI_CHAR_ESCAPES[esc][1:-1])
+                else:
+                    out.append(_MULTI_CHAR_ESCAPES[esc])
+            elif esc in _PASSTHROUGH_ESCAPES:
+                out.append("\\" + esc)
+            elif esc == "p" or esc == "P":
+                # \p{...} unicode property — same syntax in Java.
+                m = re.match(r"[pP]\{[^}]+\}", pattern[i + 1 :])
+                if not m:
+                    raise XsdRegexError(f"malformed \\p in {pattern!r}")
+                out.append("\\" + m.group(0))
+                i += len(m.group(0)) + 1
+                continue
+            else:
+                raise XsdRegexError(f"unsupported escape \\{esc} in {pattern!r}")
+            i += 2
+            continue
+        if ch == "[":
+            # look for XSD class subtraction [body-[sub]]
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if in_class and ch == "-" and i + 1 < n and pattern[i + 1] == "[":
+            # subtraction: [a-z-[aeiou]] → [a-z&&[^aeiou]]
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if pattern[j] == "[":
+                    depth += 1
+                elif pattern[j] == "]":
+                    depth -= 1
+                j += 1
+            sub = pattern[i + 2 : j - 1]
+            out.append(f"&&[^{translate_pattern(sub)}]")
+            i = j
+            continue
+        if ch == "]":
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def anchor(java_pattern: str) -> str:
+    """Wrap for full-match semantics (facets.py:755 uses re.fullmatch-style
+    anchoring via translate_pattern)."""
+    return f"^(?:{java_pattern})$"
+
+
+def translate_and_anchor(pattern: str) -> str:
+    return anchor(translate_pattern(pattern))

@@ -1,0 +1,77 @@
+"""Spec → compiled plan lowering (the ``XsdGlobals.build()`` analogue).
+
+The reference compiles an XSD once into a component graph with bound validator
+closures under a build lock (xmlschema/validators/xsd_globals.py:537-578).  Here the
+"build" happens once on the driver: every facet becomes a Column expression; every
+identity / model check becomes a DataFrame-transform closure.  Nothing is interpreted
+per row at execution time — Catalyst compiles the Column predicates into whole-stage
+codegen, which is the engine's equivalent of the reference's validator-closure
+specialization (facets bind ``validate`` at parse time, facets.py:129-140).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+from pyspark.sql import Column
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.facets import facet_id, lower_facet
+
+
+@dataclass
+class RowCheck:
+    """A compiled row-local check: one Column predicate + violation metadata."""
+
+    constraint_id: str
+    path: str
+    column: str
+    ok: Column
+    reason: str
+
+
+@dataclass
+class CompiledPlan:
+    spec: S.TableSpec
+    row_checks: List[RowCheck] = field(default_factory=list)
+    identities: Tuple[object, ...] = ()
+    model: Tuple[object, ...] = ()
+
+    @property
+    def check_ids(self) -> List[str]:
+        ids = [c.constraint_id for c in self.row_checks]
+        for c in self.identities:
+            kind = type(c).__name__.lower()
+            ids.append(f"{kind}:{c.name}")
+        for c in self.model:
+            prefix = "occurs" if isinstance(c, S.Occurs) else "model"
+            ids.append(f"{prefix}:{getattr(c, 'name', type(c).__name__)}")
+        return ids
+
+
+def compile_plan(spec: S.TableSpec) -> CompiledPlan:
+    """Lower a TableSpec. ``mode='skip'`` checks are dropped at compile time —
+    the skip-mode short-circuit (simple_types.py:710-714) costs nothing at run
+    time because the predicate is never emitted."""
+    row_checks: List[RowCheck] = []
+    for col in spec.columns:
+        for facet in col.facets:
+            if facet.mode == "skip":
+                continue
+            ok, reason = lower_facet(facet, col.name)
+            row_checks.append(
+                RowCheck(
+                    constraint_id=facet_id(facet, col.name),
+                    path=f"{spec.name}/{col.name}",
+                    column=col.name,
+                    ok=ok,
+                    reason=reason,
+                )
+            )
+    return CompiledPlan(
+        spec=spec,
+        row_checks=row_checks,
+        identities=tuple(spec.identities),
+        model=tuple(spec.model),
+    )

@@ -1,0 +1,195 @@
+"""Plan execution — the distributed ``iter_errors`` / ``validate`` analogue.
+
+One logical job, four stages (SURVEY.md §3.2), all declared via the DataFrame API so
+Catalyst fuses/pushes/prunes:
+
+* **stage A** — every row-local facet check in ONE projection pass: per row an array
+  of violation structs is built, nulls filtered, exploded.  A row with no violations
+  produces nothing; the scan reads only the columns the checks reference (column
+  pruning) and whole-stage codegen evaluates all predicates in one pass.
+* **stage B** — all window/model checks in one window pass (one exchange+sort on the
+  scope key).
+* **stage C** — all occurrence bounds in one groupBy with conditional sums
+  (map-side partials).
+* **stage D** — identity constraints: unique/key groupBys and keyref anti-joins
+  (broadcast where the spec says the key side is small).
+
+Violations union into the canonical lax-mode error collection
+(ValidationContext.errors, validation.py:216-236); ``strict`` raises on the first
+violation like ``raise_or_collect``; verdict rollup mirrors the schema
+``validity``/``validation_attempted`` attributes (schemas.py:851-876).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.facets import truncate_value
+from sissaschool_xmlschema_spark.operators.identity import (
+    key_missing_field_violations,
+    keyref_violations,
+    unique_violations,
+)
+from sissaschool_xmlschema_spark.operators.sequence import (
+    model_window_violations,
+    occurs_violations,
+)
+from sissaschool_xmlschema_spark.plans.compiler import CompiledPlan, compile_plan
+
+VIOLATION_SCHEMA = (
+    "conv_id string, turn_idx bigint, path string, constraint_id string, "
+    "offending_value string, reason string"
+)
+
+
+class SparkSchemaValidationError(Exception):
+    """Strict-mode error — the XMLSchemaValidationError analogue
+    (exceptions.py:316-339): carries path, constraint id, offending value, reason.
+    """
+
+    def __init__(self, row) -> None:
+        self.path = row["path"]
+        self.constraint_id = row["constraint_id"]
+        self.offending_value = row["offending_value"]
+        self.reason = row["reason"]
+        super().__init__(
+            f"failed validating {self.offending_value!r} against "
+            f"{self.constraint_id} at {self.path}: {self.reason}"
+        )
+
+
+def row_local_violations(df: DataFrame, plan: CompiledPlan) -> Optional[DataFrame]:
+    """Stage A: all facet checks in one projection (scan-fused, codegen'd)."""
+    if not plan.row_checks:
+        return None
+    spec = plan.spec
+    structs = [
+        F.when(
+            ~chk.ok,
+            F.struct(
+                F.lit(chk.path).alias("path"),
+                F.lit(chk.constraint_id).alias("constraint_id"),
+                truncate_value(F.col(chk.column)).alias("offending_value"),
+                F.lit(chk.reason).alias("reason"),
+            ),
+        )
+        for chk in plan.row_checks
+    ]
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    return (
+        df.select(
+            F.col(spec.scope_col).cast("string").alias("conv_id"),
+            F.col(spec.order_col).cast("long").alias("turn_idx"),
+            F.explode(arr).alias("_v"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "_v.path",
+            "_v.constraint_id",
+            "_v.offending_value",
+            "_v.reason",
+        )
+    )
+
+
+@dataclass
+class ValidationResult:
+    """Lax-mode result: the violations DataFrame plus rollups."""
+
+    violations: DataFrame
+    source: DataFrame
+    spec: S.TableSpec
+
+    def verdicts(self) -> DataFrame:
+        """Per-scope pass/fail — the validity rollup (schemas.py:851-876).
+
+        Left join of all scopes against the distinct violating scopes; a scope
+        with any violation is 'invalid', else 'valid'.
+        """
+        scopes = self.source.select(
+            F.col(self.spec.scope_col).cast("string").alias("conv_id")
+        ).dropDuplicates()
+        per_scope = self.violations.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        return scopes.join(per_scope, "conv_id", "left").select(
+            "conv_id",
+            F.coalesce(F.col("n_violations"), F.lit(0)).alias("n_violations"),
+            F.when(F.coalesce(F.col("n_violations"), F.lit(0)) > 0, "invalid")
+            .otherwise("valid")
+            .alias("validity"),
+        )
+
+    def by_constraint(self) -> DataFrame:
+        return self.violations.groupBy("constraint_id").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+
+    def is_valid(self) -> bool:
+        """``schema.is_valid`` analogue — True iff no violations exist."""
+        return self.violations.isEmpty()
+
+
+def _union(parts: List[Optional[DataFrame]]) -> Optional[DataFrame]:
+    dfs = [d for d in parts if d is not None]
+    if not dfs:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def validate(
+    df: DataFrame,
+    spec_or_plan: S.TableSpec | CompiledPlan,
+    mode: Optional[str] = None,
+) -> ValidationResult:
+    """Run the full constraint suite; the ``schema.validate`` analogue.
+
+    ``mode='lax'`` (default) collects all violations; ``'strict'`` raises a
+    :class:`SparkSchemaValidationError` on the first one (raise_or_collect,
+    validation.py:216-236).
+    """
+    plan = (
+        spec_or_plan
+        if isinstance(spec_or_plan, CompiledPlan)
+        else compile_plan(spec_or_plan)
+    )
+    spec = plan.spec
+    mode = mode or spec.mode
+
+    parts: List[Optional[DataFrame]] = [row_local_violations(df, plan)]
+    parts.append(
+        model_window_violations(
+            df, plan.model, spec.name, spec.scope_col, spec.order_col
+        )
+    )
+    parts.append(occurs_violations(df, plan.model, spec.name, spec.scope_col))
+    for c in plan.identities:
+        if isinstance(c, S.Key):
+            parts.append(unique_violations(df, c, spec.name, spec.order_col))
+            parts.append(
+                key_missing_field_violations(df, c, spec.name, spec.order_col)
+            )
+        elif isinstance(c, S.Unique):
+            parts.append(unique_violations(df, c, spec.name, spec.order_col))
+        elif isinstance(c, S.Keyref):
+            parts.append(keyref_violations(df, c, spec.name))
+        else:
+            raise ValueError(f"unknown identity constraint {c!r}")
+
+    violations = _union(parts)
+    if violations is None:
+        violations = df.sparkSession.createDataFrame([], VIOLATION_SCHEMA)
+
+    if mode == "strict":
+        first = violations.take(1)
+        if first:
+            raise SparkSchemaValidationError(first[0].asDict())
+
+    return ValidationResult(violations=violations, source=df, spec=spec)

@@ -1,0 +1,376 @@
+"""Declarative validation specs — the engine's analogue of a compiled XSD.
+
+The reference compiles an XSD document into a component graph with bound validator
+closures (``xmlschema/validators/xsd_globals.py:537-578``; facets bind their
+``validate`` callables at parse time, ``validators/facets.py`` passim).  This engine
+replaces that with plain dataclasses: a :class:`TableSpec` is the "schema", each facet
+/ constraint dataclass is the "component".  ``plans.compiler.compile_plan`` lowers a
+spec into Column expressions and DataFrame transforms on the driver, once; executors
+only ever see the compiled plan.
+
+Validation modes mirror ``xmlschema/validators/arguments.py:41`` (frozen set
+``{'strict', 'lax', 'skip'}``): *lax* collects violation rows, *strict* raises on the
+first violation, *skip* disables a check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+VALIDATION_MODES = frozenset(("strict", "lax", "skip"))
+
+
+# ---------------------------------------------------------------------------
+# Simple-type facets (reference: xmlschema/validators/facets.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Facet:
+    """Base class; ``mode`` mirrors per-check validation_hook overrides
+    (``xmlschema/validators/validation.py:499-507``)."""
+
+    mode: str = field(default="lax", init=False)
+
+
+@dataclass(frozen=True)
+class Enumeration(Facet):
+    """value ∈ values — ``XsdEnumerationFacets`` (facets.py:596-710).
+
+    NaN membership is special-cased like facets.py:689-698: if the enumeration
+    contains NaN, NaN values pass.
+    """
+
+    values: Sequence[str]
+
+
+@dataclass(frozen=True)
+class Pattern(Facet):
+    """Match **any** of the XSD-dialect regexes (facets.py:713-823; match-any
+    semantics facets.py:798-804).  Patterns are implicitly anchored (full match),
+    exactly like ``translate_pattern``'s anchoring."""
+
+    patterns: Sequence[str]
+
+
+@dataclass(frozen=True)
+class Length(Facet):
+    """len(value) == value — facets.py:161-198."""
+
+    value: int
+
+
+@dataclass(frozen=True)
+class MinLength(Facet):
+    """len(value) >= value — facets.py:201-235."""
+
+    value: int
+
+
+@dataclass(frozen=True)
+class MaxLength(Facet):
+    """len(value) <= value — facets.py:238-272."""
+
+    value: int
+
+
+@dataclass(frozen=True)
+class MinInclusive(Facet):
+    """value >= bound — facets.py:275-313."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class MinExclusive(Facet):
+    """value > bound — facets.py:316-354."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class MaxInclusive(Facet):
+    """value <= bound — facets.py:357-397."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class MaxExclusive(Facet):
+    """value < bound — facets.py:400-438."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class TotalDigits(Facet):
+    """total decimal digits <= value — facets.py:441-497 + utils/decoding.py:32-52."""
+
+    value: int
+
+
+@dataclass(frozen=True)
+class FractionDigits(Facet):
+    """fraction digits <= value — facets.py:500-548."""
+
+    value: int
+
+
+@dataclass(frozen=True)
+class WhiteSpace(Facet):
+    """'preserve' | 'replace' | 'collapse' — facets.py:114-158.
+
+    As a *check* (not a transform): replace-mode rejects tab/newline/CR;
+    collapse-mode additionally rejects leading/trailing/double spaces
+    (facets.py:142-158).  preserve is the identity and never fails — the engine's
+    per-turn-text-equality invariant relies on `text` being preserve.
+    """
+
+    value: str = "preserve"
+
+
+@dataclass(frozen=True)
+class ExplicitTimezone(Facet):
+    """'required' | 'prohibited' | 'optional' on the raw lexical form —
+    facets.py:551-593 (XSD 1.1)."""
+
+    value: str = "required"
+
+
+@dataclass(frozen=True)
+class BooleanLexical(Facet):
+    """lexical space {'true','1','false','0'} — helpers.py:26-29, 268-272."""
+
+
+@dataclass(frozen=True)
+class Required(Facet):
+    """Column must be non-null, optionally only where ``when`` (a SQL boolean
+    expression over the row) holds — the analogue of a required attribute /
+    missing key field (attributes.py:663-664, identities.py:523-531)."""
+
+    when: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Prohibited(Facet):
+    """Column must be null where ``when`` holds — prohibited attribute
+    (attributes.py:707-709)."""
+
+    when: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class FixedValue(Facet):
+    """Present value must equal ``value`` (value-space equality) —
+    elements.py:748-770, attributes.py:241-260."""
+
+    value: object
+
+
+@dataclass(frozen=True)
+class Assertion(Facet):
+    """XSD 1.1 assertion facet with ``$value`` (facets.py:826-884): an arbitrary
+    SQL boolean expression over the row where ``value`` refers to the column."""
+
+    expr: str
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column's simple-type: facets applied in the reference's decode order
+    (normalize → lexical patterns → value-space validators,
+    simple_types.py:488-503)."""
+
+    name: str
+    facets: Sequence[Facet] = ()
+
+
+# ---------------------------------------------------------------------------
+# Identity constraints (reference: xmlschema/validators/identities.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Unique:
+    """xs:unique — within ``scope``, the field tuple must not repeat; tuples with
+    any null field are skipped (elements.py:912; duplicate detected when the
+    counter hits 2, identities.py:385-389)."""
+
+    name: str
+    fields: Sequence[str]
+    scope: Optional[str] = None  # None → whole table ("document-wide")
+    selector: Optional[str] = None  # SQL predicate restricting selected rows
+
+
+@dataclass(frozen=True)
+class Key(Unique):
+    """xs:key — like unique, plus every field must be present on every selected
+    row (missing field → error, identities.py:523-531)."""
+
+
+@dataclass(frozen=True)
+class Keyref:
+    """xs:keyref — selected field tuples must exist in the referred key's value
+    set; misses reported with multiplicity ("... 2 times"), mirroring
+    ``KeyrefCounter.iter_errors`` (identities.py:403-418)."""
+
+    name: str
+    fields: Sequence[str]
+    refer_fields: Sequence[str]
+    scope: Optional[str] = None
+    selector: Optional[str] = None  # predicate selecting referencing rows
+    refer_selector: Optional[str] = None  # predicate selecting key-bearing rows
+    broadcast_keys: bool = True  # broadcast the key side when it is small
+
+
+# ---------------------------------------------------------------------------
+# Content model / occurrence (reference: xmlschema/validators/models.py,
+# particles.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Occurs:
+    """minOccurs/maxOccurs of rows matching ``where`` per scope group —
+    ``ParticleMixin.is_missing/is_over`` semantics (particles.py:109-126)."""
+
+    name: str
+    where: str  # SQL predicate, e.g. "role = 'user'"
+    min_occurs: int = 0
+    max_occurs: Optional[int] = None  # None = unbounded
+
+
+@dataclass(frozen=True)
+class Contiguity:
+    """Sequence-model check: the order column must be 0,1,2,... with no gaps or
+    duplicates inside a scope group — the flat-table analogue of the
+    ``ModelVisitor`` child-position automaton (models.py:267-366,
+    XMLSchemaChildrenValidationError index, exceptions.py:438-533)."""
+
+    name: str = "turn-contiguity"
+
+
+@dataclass(frozen=True)
+class Monotone:
+    """A column must be non-decreasing (strict=False) or increasing (strict=True)
+    in document order within the scope group."""
+
+    name: str
+    column: str
+    strict: bool = False
+
+
+@dataclass(frozen=True)
+class FirstTurn:
+    """The first row in document order must satisfy ``where`` — the analogue of a
+    required leading particle (ModelVisitor._start, models.py:218-232)."""
+
+    name: str
+    where: str
+
+
+@dataclass(frozen=True)
+class LastTurn:
+    """The last row in document order must satisfy ``where`` (ModelVisitor.stop,
+    models.py:243-246)."""
+
+    name: str
+    where: str
+
+
+@dataclass(frozen=True)
+class Transition:
+    """Allowed (prev → next) pairs on ``column`` in document order — the
+    state-machine legality check (models.py advance).  ``allowed`` maps a prev
+    value to the set of legal next values; values absent from ``allowed`` are
+    unrestricted (open content, models.py:737-817)."""
+
+    name: str
+    column: str
+    allowed: dict
+    start: Optional[Sequence[str]] = None  # legal first values; None = any
+
+
+# ---------------------------------------------------------------------------
+# Table spec — the "schema document"
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """The compiled-schema analogue of ``XsdGlobals`` for one table.
+
+    ``scope_col`` plays the document / identity-scope role that the ancestor
+    element plays in the reference (identity counters reset per scope,
+    schemas.py:1342-1360); ``order_col`` is document order.
+    """
+
+    name: str
+    scope_col: str = "conv_id"
+    order_col: str = "turn_idx"
+    columns: Sequence[ColumnSpec] = ()
+    identities: Sequence[object] = ()  # Unique | Key | Keyref
+    model: Sequence[object] = ()  # Occurs | Contiguity | Monotone | ...
+    mode: str = "lax"
+
+    def __post_init__(self) -> None:
+        if self.mode not in VALIDATION_MODES:
+            raise ValueError(f"mode must be one of {sorted(VALIDATION_MODES)}")
+
+
+def transcript_spec() -> TableSpec:
+    """The canonical spec for the transcripts table from BASELINE.json input_hint —
+    the engine's flagship "schema".  Mirrors FIXTURES.md F1."""
+
+    return TableSpec(
+        name="transcripts",
+        scope_col="conv_id",
+        order_col="turn_idx",
+        columns=(
+            ColumnSpec("conv_id", (Required(), Pattern(("conv-[0-9]{8}",)))),
+            ColumnSpec("turn_idx", (Required(), MinInclusive(0))),
+            ColumnSpec(
+                "role",
+                (Required(), Enumeration(("system", "user", "assistant", "tool"))),
+            ),
+            # text: whiteSpace=preserve (builtins.py:79-84) — NEVER normalized.
+            ColumnSpec("text", (Required(), MinLength(1), MaxLength(65536))),
+            ColumnSpec(
+                "tool",
+                (
+                    Pattern(("tool-[0-9]{3}",)),
+                    Required(when="role = 'tool'"),
+                ),
+            ),
+            ColumnSpec("ts", (Required(),)),
+        ),
+        identities=(
+            Key("turn-key", fields=("turn_idx",), scope="conv_id"),
+            Keyref(
+                "tool-ref",
+                fields=("tool",),
+                refer_fields=("tool",),
+                scope="conv_id",
+                selector="role = 'tool'",
+                refer_selector="role = 'assistant' AND tool IS NOT NULL",
+            ),
+        ),
+        model=(
+            Contiguity(),
+            Monotone("ts-monotone", column="ts", strict=False),
+            Occurs("min-one-user", where="role = 'user'", min_occurs=1),
+            FirstTurn("first-is-system-or-user", where="role IN ('system','user')"),
+            Transition(
+                "role-transitions",
+                column="role",
+                allowed={
+                    "system": ("user",),
+                    "user": ("assistant",),
+                    "assistant": ("user", "assistant", "tool"),
+                    "tool": ("assistant", "tool"),
+                },
+                start=("system", "user"),
+            ),
+        ),
+    )
