@@ -1,0 +1,168 @@
+"""Distribution-drift checks: PSI and KS against a baseline snapshot.
+
+North-star stage with no reference counterpart: the engine compares the current
+table's distributions (``ts`` histograms, turn-count histograms, any numeric
+column) against a stored baseline snapshot and emits drift scores.
+
+Everything is Column algebra — histograms are one groupBy over a bucket
+expression (map-side combined, so the shuffle carries ≤ n_buckets rows per
+partition); PSI is a join of two tiny histograms; KS is a window cumulative sum
+over the merged value set.  No Python touches row data, so the same code runs
+unchanged at 10^12 rows: the only all-to-one step is over ``n_buckets`` rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(df: DataFrame, col: str) -> Column:
+    """Numeric view of a column; timestamps map through epoch seconds
+    (Spark won't cast timestamp→double directly)."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype.startswith("timestamp"):
+        return F.unix_timestamp(F.col(col)).cast("double")
+    if dtype == "date":
+        return F.unix_date(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
+def bucketize(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Histogram ``(bucket, n)`` of ``col`` with equal-width buckets.
+
+    When ``lo``/``hi`` are omitted they are computed in the same job via a
+    scalar-aggregate cross join (Catalyst turns the 1-row side into a broadcast);
+    fixed bounds make histograms comparable across runs, so snapshots store them.
+    """
+    src = df.select(_as_double(df, col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    if lo is None or hi is None:
+        bounds = src.agg(
+            F.min("v").alias("_lo"), F.max("v").alias("_hi")
+        )
+        src = src.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(n_buckets))
+    raw = F.floor((F.col("v") - lo_c) / width)
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        src.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two ``(bucket, n)`` histograms.
+
+    PSI = Σ_b (p_b − q_b) · ln(p_b / q_b), with ε-smoothed proportions so empty
+    buckets don't blow up.  Returns a single row ``(psi double)``.
+    Rule of thumb: <0.1 stable, 0.1–0.25 moderate, >0.25 major drift.
+    """
+    cur = current_hist.select("bucket", F.col("n").alias("n_cur"))
+    base = baseline_hist.select("bucket", F.col("n").alias("n_base"))
+    # full outer join on tiny (≤ n_buckets rows) inputs
+    joined = cur.join(base, "bucket", "full_outer").select(
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+    )
+    totals = joined.agg(
+        F.sum("n_cur").alias("t_cur"), F.sum("n_base").alias("t_base")
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    p = F.col("n_cur") / F.col("t_cur") + F.lit(eps)
+    q = F.col("n_base") / F.col("t_base") + F.lit(eps)
+    return j.agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+
+
+def ks_statistic(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic on ``col``.
+
+    D = max over observed values of |ECDF_cur − ECDF_base|, computed with one
+    groupBy on the value (map-side combined) and one ordered window for the
+    running sums (the reference's order-dependent automaton analogue: a single
+    sort, SURVEY.md §2.5).  Returns a single row ``(ks double)``.
+
+    The window has no partition key — acceptable because its input is one row
+    per *distinct* value; for continuous 10^12-row columns, bucketize first and
+    run KS on the histogram (bounded cardinality).
+    """
+    a = current.select(_as_double(current, col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("n_a")).withColumn(
+        "n_b", F.lit(0).cast("long")
+    )
+    b = baseline.select(_as_double(baseline, col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("n_b")).withColumn(
+        "n_a", F.lit(0).cast("long")
+    )
+    merged = a.unionByName(b).groupBy("v").agg(
+        F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = merged.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    cdf = merged.select(
+        (F.sum("n_a").over(w)).alias("c_a"),
+        (F.sum("n_b").over(w)).alias("c_b"),
+    ).crossJoin(F.broadcast(totals))
+    return cdf.agg(
+        F.max(
+            F.abs(
+                F.col("c_a") / F.col("t_a") - F.col("c_b") / F.col("t_b")
+            )
+        ).alias("ks")
+    )
+
+
+def drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """One-row ``(column, psi, ks)`` report for a column pair of snapshots.
+
+    When no fixed bounds are given, both histograms share the *baseline's*
+    min/max (a 1-row collect) — two independently-bounded histograms would be
+    incomparable.
+    """
+    if lo is None or hi is None:
+        row = baseline.agg(
+            F.min(_as_double(baseline, col)), F.max(_as_double(baseline, col))
+        ).first()
+        lo = row[0] if lo is None else lo
+        hi = row[1] if hi is None else hi
+    cur_h = bucketize(current, col, n_buckets, lo, hi)
+    base_h = bucketize(baseline, col, n_buckets, lo, hi)
+    p = psi(cur_h, base_h, n_buckets)
+    k = ks_statistic(current, baseline, col)
+    return (
+        p.crossJoin(k)
+        .select(F.lit(col).alias("column"), "psi", "ks")
+    )

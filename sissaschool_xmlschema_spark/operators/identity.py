@@ -60,22 +60,33 @@ def _violation_select(df: DataFrame, scope: str | None, order: str | None,
     )
 
 
-def unique_violations(df: DataFrame, c: S.Unique, table: str,
-                      order_col: str | None = None) -> DataFrame:
-    """Duplicate field tuples for xs:unique / xs:key (identities.py:385-389)."""
-    cid = f"{'key' if isinstance(c, S.Key) else 'unique'}:{c.name}"
-    path = f"{table}"
+def unique_dups(df: DataFrame, c: S.Unique) -> DataFrame:
+    """Raw duplicate tuples: ``(scope?, *fields, _n)`` with ``_n > 1``.
+
+    The counting core of xs:unique (IdentityCounter.increase errors when a tuple's
+    count hits 2, identities.py:385-389) as a single groupBy — Catalyst's partial
+    (map-side) aggregation gives the salted two-phase shape for free because the
+    grouping key includes the high-cardinality field tuple.
+    """
     selected = df.filter(F.expr(c.selector)) if c.selector else df
     # null-tuple skip rule (elements.py:912): any null field → tuple not counted
     non_null = selected
     for f in c.fields:
         non_null = non_null.filter(F.col(f).isNotNull())
     keys = ([c.scope] if c.scope else []) + list(c.fields)
-    dups = (
+    return (
         non_null.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
     )
+
+
+def unique_violations(df: DataFrame, c: S.Unique, table: str,
+                      order_col: str | None = None) -> DataFrame:
+    """Duplicate field tuples for xs:unique / xs:key (identities.py:385-389)."""
+    cid = f"{'key' if isinstance(c, S.Key) else 'unique'}:{c.name}"
+    path = f"{table}"
+    dups = unique_dups(df, c)
     reason = F.concat(
         F.lit(f"duplicated value ("),
         _tuple_repr(c.fields),
@@ -115,15 +126,16 @@ def key_missing_field_violations(df: DataFrame, c: S.Key, table: str,
     )
 
 
-def keyref_violations(df: DataFrame, c: S.Keyref, table: str,
-                      keys_df: DataFrame | None = None) -> DataFrame:
-    """Anti-join referential check with multiplicity (identities.py:403-418).
+def keyref_misses(df: DataFrame, c: S.Keyref,
+                  keys_df: DataFrame | None = None) -> DataFrame:
+    """Raw missing referents: ``(scope?, *fields, _n)`` — each absent tuple once
+    with its multiplicity, the counting core of ``KeyrefCounter.iter_errors``
+    (identities.py:403-418, anti-membership filter :410).
 
     ``keys_df`` lets a keyref refer to a key on a *different* table (the
     cross-table analogue of refer_path scope propagation, identities.py:317-334);
     by default keys come from the same DataFrame.
     """
-    cid = f"keyref:{c.name}"
     refs = df.filter(F.expr(c.selector)) if c.selector else df
     # skip tuples with null fields — they are reported by Required/Key checks
     for f in c.fields:
@@ -148,7 +160,14 @@ def keyref_violations(df: DataFrame, c: S.Keyref, table: str,
     misses = refs.join(keys, cond, "left_anti")
 
     group_keys = ([c.scope] if c.scope else []) + list(c.fields)
-    counted = misses.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("_n"))
+    return misses.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("_n"))
+
+
+def keyref_violations(df: DataFrame, c: S.Keyref, table: str,
+                      keys_df: DataFrame | None = None) -> DataFrame:
+    """Anti-join referential check with multiplicity (identities.py:403-418)."""
+    cid = f"keyref:{c.name}"
+    counted = keyref_misses(df, c, keys_df)
     reason = F.concat(
         F.lit("value ("),
         _tuple_repr(c.fields),

@@ -38,6 +38,7 @@ def model_window_violations(
     table: str,
     scope: str,
     order: str,
+    tiebreakers: Sequence[str] = (),
 ) -> DataFrame | None:
     """All Contiguity / Monotone / FirstTurn / LastTurn / Transition checks in a
     single window pass.
@@ -47,7 +48,7 @@ def model_window_violations(
     the SAME window partitioning: pass 1 materializes lag/row_number/count columns
     (one exchange + sort), pass 2 is a plain projection Catalyst fuses into it.
     """
-    w = Window.partitionBy(scope).orderBy(order)
+    w = Window.partitionBy(scope).orderBy(order, *tiebreakers)
     wp = Window.partitionBy(scope)
 
     lag_cols = {order}

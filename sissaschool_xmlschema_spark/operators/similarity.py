@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float/double>``).
+
+North-star training-data extension; no reference counterpart.  Two tiers:
+
+* **brute force** — cosine against a broadcast query vector, exact top-k.  One
+  scan, no shuffle until the final top-k (``orderBy().limit(k)`` lowers to
+  TakeOrderedAndProject: per-partition heaps + driver merge of k rows, NOT a
+  global sort).
+* **LSH buckets** — deterministic random-hyperplane signatures (sign patterns)
+  so queries only scan their own bucket: the scale path.  At 100 TB the bucket
+  column becomes the table's partition/bucketing key so a probe prunes to
+  matching files.
+
+Dot products are ``aggregate(zip_with(...))`` Column expressions — JVM-side,
+no Python.  For very wide vectors a pandas-UDF/numpy batch path could win on
+SIMD, but at 64–1024 dims the expression path avoids Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Σ xᵢ·yᵢ as a higher-order-function Column (whole-stage codegen'd)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
+def cosine_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+) -> DataFrame:
+    """``(id, cos)`` — cosine of every row's vector against the query vector.
+
+    The query is a literal array (broadcast in the plan itself); zero-norm rows
+    yield NULL (0/0) and are dropped, matching the convention that an empty
+    embedding matches nothing.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query])
+    cos = dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))
+    return (
+        df.select(F.col(id_col).alias("id"), cos.alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine — TakeOrderedAndProject, not a global sort.
+
+    Ties at the k-boundary are broken by id so the result is deterministic.
+    """
+    scores = cosine_scores(df, id_col, vec_col, query)
+    return scores.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, bucket)`` — sign-pattern LSH bucket id in [0, 2^n_planes).
+
+    Hyperplane h_p component j = a deterministic pseudo-random ±1 derived from
+    xxhash64(seed, p, j) — executors recompute it from literals, nothing is
+    shipped.  sign(v·h_p) gives bit p.  Cosine-similar vectors collide with
+    probability 1 − θ/π per plane (Charikar 2002), so near neighbours land in
+    the same bucket with high probability and a probe scans ~n/2^n_planes rows.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # ±1 component pattern for plane p as a literal array
+        comps = F.array(
+            *[
+                F.when(
+                    F.xxhash64(F.lit(seed), F.lit(p), F.lit(j))
+                    .bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for j in range(dim)
+            ]
+        )
+        proj = dot(F.col(vec_col), comps)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's hyperplane bucket.
+
+    Recall can be raised by probing neighbouring buckets (flip one bit) —
+    multiprobe is a union of ≤ n_planes additional bucket filters, still
+    pruning-friendly.
+    """
+    dim = len(query)
+    qb = query_bucket(df.sparkSession, query, n_planes, seed)
+    buckets = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed)
+    candidates = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .join(buckets, F.col("_id") == F.col("id"))
+        .filter(F.col("bucket") == F.lit(qb))
+        .select("_id", "_vec")
+    )
+    scores = cosine_scores(candidates, "_id", "_vec", query)
+    return scores.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
+
+
+def query_bucket(spark, query: Sequence[float], n_planes: int = 8,
+                 seed: int = 42) -> int:
+    """Bucket of the query vector, computed with the *identical* Spark
+    expression on a local 1-row DataFrame - guaranteed to match executors
+    (no driver-side reimplementation of xxhash64)."""
+    one = spark.createDataFrame(
+        [(0, [float(v) for v in query])], "id long, vec array<double>"
+    )
+    row = hyperplane_buckets(one, "id", "vec", n_planes, len(query), seed)
+    return row.first()["bucket"]

@@ -166,7 +166,8 @@ def validate(
     parts: List[Optional[DataFrame]] = [row_local_violations(df, plan)]
     parts.append(
         model_window_violations(
-            df, plan.model, spec.name, spec.scope_col, spec.order_col
+            df, plan.model, spec.name, spec.scope_col, spec.order_col,
+            tuple(spec.tiebreakers),
         )
     )
     parts.append(occurs_violations(df, plan.model, spec.name, spec.scope_col))

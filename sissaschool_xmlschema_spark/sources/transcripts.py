@@ -148,7 +148,7 @@ def corrupt_transcripts(df: DataFrame, every: int = 101, seed: int = 42) -> Data
 
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
-  'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+  'conv-' || lpad(CAST(user_id AS VARCHAR(30)), 8, '0') AS conv_id,
   CAST(
     CASE WHEN event_id % 211 = 0 THEN rn - 2 ELSE rn - 1 END AS INT
   ) AS turn_idx,
@@ -163,11 +163,11 @@ SELECT
   CASE WHEN event_id % 127 = 0 THEN '' ELSE props END AS text,
   CASE
     WHEN event_id % 89 = 0 THEN NULL
-    WHEN event_id % 113 = 0 THEN 'TOOL_' || CAST(event_id % 10 AS VARCHAR)
+    WHEN event_id % 113 = 0 THEN 'TOOL_' || CAST(event_id % 10 AS VARCHAR(30))
     WHEN event_type = 'error'
-      THEN 'tool-' || lpad(CAST(event_id % 500 AS VARCHAR), 3, '0')
+      THEN 'tool-' || lpad(CAST(event_id % 500 AS VARCHAR(30)), 3, '0')
     WHEN event_type = 'view'
-      THEN 'tool-' || lpad(CAST(event_id % 400 AS VARCHAR), 3, '0')
+      THEN 'tool-' || lpad(CAST(event_id % 400 AS VARCHAR(30)), 3, '0')
     ELSE NULL
   END AS tool,
   ts,

@@ -309,6 +309,10 @@ class TableSpec:
     name: str
     scope_col: str = "conv_id"
     order_col: str = "turn_idx"
+    # extra sort keys after order_col so window checks are deterministic even
+    # when corrupted data duplicates the order value (the reference never has
+    # this problem: ElementTree children have a total document order)
+    tiebreakers: Sequence[str] = ()
     columns: Sequence[ColumnSpec] = ()
     identities: Sequence[object] = ()  # Unique | Key | Keyref
     model: Sequence[object] = ()  # Occurs | Contiguity | Monotone | ...
