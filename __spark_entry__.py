@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship job: the full constraint suite
+(facets + identity + model + keyref) over the transcripts view derived from the
+sf0.001 ``events`` table, returning the violation rows.
+
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the equivalent
+ANSI SQL DuckDB runs on the same parquet views.  Column names and types are
+aligned on both sides (counts cast to BIGINT, lengths to INT) because the
+driver hash-compares values after sorting columns by name.
+
+The transcripts-family queries operate on a transcripts-shaped view derived
+from ``events`` with the SHARED SQL in sources/transcripts.py — both engines
+derive the same table (including deterministically planted violations — the
+``--errors=N`` corpus idea, reference xmlschema/testing/_factory.py:36-42), so
+every validation family has a non-trivial, oracle-checkable result.
 """
 
 from __future__ import annotations
@@ -12,27 +22,856 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.operators import dedup, drift, similarity, stats
+from sissaschool_xmlschema_spark.operators.identity import (
+    keyref_misses,
+    unique_dups,
+)
+from sissaschool_xmlschema_spark.operators.sequence import (
+    model_window_violations,
+)
+from sissaschool_xmlschema_spark.plans.runner import validate
+from sissaschool_xmlschema_spark.sources.transcripts import (
+    events_transcript_spec,
+    transcripts_from_events,
+    transcripts_from_events_cte,
+)
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+
+_CTE = transcripts_from_events_cte("events")
+
+# identical document order on both engines (corrupted turn_idx duplicates need
+# tiebreakers; DuckDB defaults to NULLS LAST on ASC, Spark to NULLS FIRST, so
+# spell it out)
+_WIN = (
+    "PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, "
+    "ts ASC NULLS FIRST, text ASC NULLS FIRST, value ASC NULLS FIRST"
+)
+
+_ORD_CTE = f"""
+ord AS (
+  SELECT conv_id, turn_idx, role, ts,
+         lag(turn_idx) OVER w AS prev_idx,
+         lag(ts)       OVER w AS prev_ts,
+         lag(role)     OVER w AS prev_role,
+         row_number()  OVER w AS rn
+  FROM t
+  WINDOW w AS ({_WIN})
+)
+"""
+
+_ROLE_ENUM = "('system','user','assistant','tool')"
+
+_TRANSITION_BAD = """
+  (prev_role IS NULL AND role NOT IN ('system','user'))
+  OR (prev_role = 'system' AND role <> 'user')
+  OR (prev_role = 'user' AND role <> 'assistant')
+  OR (prev_role = 'assistant' AND role NOT IN ('user','assistant','tool'))
+  OR (prev_role = 'tool' AND role NOT IN ('assistant','tool'))
+"""
+
+_KEYREF_MISS_GROUPS = """
+  SELECT r.conv_id, r.tool, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t r
+  WHERE r.role = 'tool' AND r.tool IS NOT NULL
+    AND NOT EXISTS (
+      SELECT 1 FROM t k
+      WHERE k.conv_id = r.conv_id AND k.role = 'assistant'
+        AND k.tool = r.tool
+    )
+  GROUP BY r.conv_id, r.tool
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# transcripts validation family
+# ---------------------------------------------------------------------------
+
+
+def q_enum_role(spark, sf_dir):
+    """Enumeration facet (facets.py:596-710) aggregated by offending value."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return (
+        res.violations.filter(F.col("constraint_id") == "facet:role:Enumeration")
+        .groupBy(F.col("offending_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_required_tool(spark, sf_dir):
+    """Conditional required field (attributes.py:663-664)."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return res.violations.filter(
+        F.col("constraint_id") == "facet:tool:Required"
+    ).select("conv_id", "turn_idx")
+
+
+def q_pattern_tool(spark, sf_dir):
+    """Pattern facet, XSD anchored-match semantics (facets.py:713-823)."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return res.violations.filter(
+        F.col("constraint_id") == "facet:tool:Pattern"
+    ).select("conv_id", "turn_idx", F.col("offending_value").alias("tool"))
+
+
+def q_unique_turn(spark, sf_dir):
+    """xs:key duplicate tuples with multiplicity (identities.py:385-389)."""
+    c = S.Key("turn-key", fields=("turn_idx",), scope="conv_id")
+    d = unique_dups(_t(spark, sf_dir), c)
+    return d.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("_n").alias("n"),
+    )
+
+
+def q_keyref_tool(spark, sf_dir):
+    """xs:keyref anti-join misses with multiplicity (identities.py:403-418)."""
+    c = S.Keyref(
+        "tool-ref",
+        fields=("tool",),
+        refer_fields=("tool",),
+        scope="conv_id",
+        selector="role = 'tool'",
+        refer_selector="role = 'assistant' AND tool IS NOT NULL",
+    )
+    m = keyref_misses(_t(spark, sf_dir), c)
+    return m.select("conv_id", "tool", F.col("_n").alias("n"))
+
+
+def _window_family(spark, sf_dir, constraint_id):
+    sp = events_transcript_spec()
+    v = model_window_violations(
+        _t(spark, sf_dir), sp.model, sp.name, sp.scope_col, sp.order_col,
+        tuple(sp.tiebreakers),
+    )
+    return v.filter(F.col("constraint_id") == constraint_id).select(
+        "conv_id", "turn_idx"
+    )
+
+
+def q_contiguity(spark, sf_dir):
+    """Sequence-model position automaton (models.py:267-366) flat-table form."""
+    return _window_family(spark, sf_dir, "model:turn-contiguity")
+
+
+def q_ts_monotone(spark, sf_dir):
+    return _window_family(spark, sf_dir, "model:ts-monotone")
+
+
+def q_first_turn(spark, sf_dir):
+    return _window_family(spark, sf_dir, "model:first-is-system-or-user")
+
+
+def q_transitions(spark, sf_dir):
+    return _window_family(spark, sf_dir, "model:role-transitions")
+
+
+def q_occurs(spark, sf_dir):
+    """minOccurs bound per scope (particles.py:109-126)."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return res.violations.filter(
+        F.col("constraint_id") == "occurs:min-one-user"
+    ).select("conv_id", F.col("offending_value").alias("n_user"))
+
+
+def q_verdicts(spark, sf_dir):
+    """FLAGSHIP: full-suite per-conversation verdict rollup
+    (validity attribute semantics, schemas.py:851-876)."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return res.verdicts()
+
+
+def q_violations_by_constraint(spark, sf_dir):
+    """Full-suite violation counts per constraint id (lax error accumulation,
+    validation.py:216-236)."""
+    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    return res.by_constraint()
+
+
+# ---------------------------------------------------------------------------
+# stats / drift
+# ---------------------------------------------------------------------------
+
+
+def q_stats_transcripts(spark, sf_dir):
+    """Single-pass column stats, exact mode (north-star §2.4 addition)."""
+    out = stats.column_stats(
+        _t(spark, sf_dir),
+        numeric_cols=["turn_idx"],
+        string_cols=["role", "tool", "text"],
+        exact=True,
+        quantiles=(),
+    )
+    # normalize int widths for the hash compare (lengths are int32 in Spark,
+    # int64 in DuckDB; counts are int64 in both)
+    return out.select(
+        F.col("n_rows"),
+        F.col("role_nulls"), F.col("role_distinct"),
+        F.col("tool_nulls"), F.col("tool_distinct"),
+        F.col("text_nulls"), F.col("text_distinct"),
+        F.col("turn_idx_nulls"), F.col("turn_idx_distinct"),
+        F.col("turn_idx_min").cast("long").alias("turn_idx_min"),
+        F.col("turn_idx_max").cast("long").alias("turn_idx_max"),
+        F.col("role_minlen").cast("long").alias("role_minlen"),
+        F.col("role_maxlen").cast("long").alias("role_maxlen"),
+        F.col("text_minlen").cast("long").alias("text_minlen"),
+        F.col("text_maxlen").cast("long").alias("text_maxlen"),
+        F.col("tool_minlen").cast("long").alias("tool_minlen"),
+        F.col("tool_maxlen").cast("long").alias("tool_maxlen"),
+    )
+
+
+def q_stats_by_role(spark, sf_dir):
+    """Grouped + global stats via GROUPING SETS in one pass."""
+    t = _t(spark, sf_dir)
+    return (
+        t.groupingSets([["role"], []], F.col("role"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("conv_id")).alias("n_convs"),
+            F.sum(F.col("tool").isNull().cast("long")).alias("tool_nulls"),
+        )
+    )
+
+
+def q_drift_value(spark, sf_dir):
+    """PSI + KS of events.value, first half vs second half of the time range."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.agg(
+        F.min(F.unix_timestamp("ts").cast("double")).alias("lo"),
+        F.max(F.unix_timestamp("ts").cast("double")).alias("hi"),
+    ).first()
+    mid = (b["lo"] + b["hi"]) / 2.0
+    epoch = F.unix_timestamp("ts").cast("double")
+    base = ev.filter(epoch < mid)
+    cur = ev.filter(epoch >= mid)
+    rep = drift.drift_report(cur, base, "value", n_buckets=10)
+    return rep.select(
+        "column",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-table validation family
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_keyref_customer(spark, sf_dir):
+    """Cross-table keyref: orders → customers in good standing (acctbal ≥ 0);
+    broadcast anti-join (identities.py:403-418 at table scale)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    c = S.Keyref(
+        "order-customer",
+        fields=("o_custkey",),
+        refer_fields=("o_custkey",),
+        refer_selector="c_acctbal >= 0",
+    )
+    m = keyref_misses(orders, c, keys_df=cust)
+    return m.select("o_custkey", F.col("_n").alias("n"))
+
+
+def q_tpch_linenumber_contig(spark, sf_dir):
+    """Occurrence/contiguity over lineitem: l_linenumber must be 1..n."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("l_linenumber").cast("long").alias("min_ln"),
+        F.max("l_linenumber").cast("long").alias("max_ln"),
+    )
+    return g.filter((F.col("min_ln") != 1) | (F.col("max_ln") != F.col("n_lines")))
+
+
+def q_tpch_facets(spark, sf_dir):
+    """Facet battery on lineitem, counts per constraint id."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sp = S.TableSpec(
+        name="lineitem",
+        scope_col="l_orderkey",
+        order_col="l_linenumber",
+        columns=(
+            S.ColumnSpec("l_quantity", (S.MinInclusive(1.0), S.MaxInclusive(30.0))),
+            S.ColumnSpec("l_discount", (S.MaxInclusive(0.05),)),
+            S.ColumnSpec("l_returnflag", (S.Enumeration(("A", "N")),)),
+            S.ColumnSpec("l_linestatus", (S.Enumeration(("O", "F")),)),
+        ),
+    )
+    return validate(li, sp).by_constraint()
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline family (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Exact dedup modulo token order: normalized-fingerprint groups."""
+    d = dedup.normalized_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+    return d.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs ≥ 0.5, integer-threshold arithmetic."""
+    return dedup.jaccard_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold_num=1, threshold_den=2,
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs, portable md5 flavor (oracle-checkable)."""
+    return dedup.minhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=8, bands=4, portable=True
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine scores of every embedding vs the vec_id=0 vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        # float32 storage → double BEFORE the dot product so the left-to-right
+        # summation is bit-identical to the DuckDB oracle's DOUBLE[] cast
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    s = similarity.cosine_scores(emb, "vec_id", "embedding", [float(x) for x in q])
+    return s.select(F.col("id").alias("vec_id"), F.round("cos", 6).alias("cos"))
+
+
+def q_text_metrics(spark, sf_dir):
+    """Token counting + quality signals as exact integers."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("long").alias(
+            "n_stop"
+        ),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-token language ID vs the labeled lang: confusion counts."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def marker_count(markers):
+        # closure factory: a default-arg lambda would look binary to
+        # F.filter's arity sniffing and bind the index instead
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    marks = {
+        lang: marker_count(m)
+        for lang, m in (
+            ("en", ("the", "and", "of", "to", "is")),
+            ("es", ("el", "la", "de", "que", "y")),
+            ("fr", ("le", "les", "des", "est", "une")),
+            ("de", ("der", "die", "das", "und", "ist")),
+        )
+    }
+    best = F.greatest(*marks.values())
+    pred = F.lit("und")
+    for lang in ["de", "fr", "es", "en"]:
+        pred = F.when((marks[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            pred
+        )
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Portable content fingerprints (md5) per document."""
+    return _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+
+
+# non-SQL-expressible (rows-only check): production hash flavors
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 — JVM-only, no oracle)."""
+    return dedup.simhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=8
+    )
+
+
+def q_minhash_fast(spark, sf_dir):
+    """MinHash+LSH with xxhash64 signatures (production flavor, no oracle)."""
+    return dedup.minhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=4, portable=False
+    )
+
+
+def q_stats_approx(spark, sf_dir):
+    """HLL + quantile-sketch stats (approximate — rows-only check)."""
+    t = _t(spark, sf_dir)
+    return stats.column_stats(
+        t, numeric_cols=["turn_idx"], string_cols=["conv_id", "role"],
+        exact=False, quantiles=(0.5, 0.95),
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k (rows-only check)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 0").first()["embedding"]
+    return similarity.lsh_topk(
+        emb, "vec_id", "embedding", [float(x) for x in q], k=10, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint suite on sf0.001, returns violation rows."""
+    df = _t(spark, "/root/testdata/sf0.001")
+    return validate(df, events_transcript_spec()).violations
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "enum_role": q_enum_role,
+        "required_tool": q_required_tool,
+        "pattern_tool": q_pattern_tool,
+        "unique_turn": q_unique_turn,
+        "keyref_tool": q_keyref_tool,
+        "contiguity": q_contiguity,
+        "ts_monotone": q_ts_monotone,
+        "first_turn": q_first_turn,
+        "transitions": q_transitions,
+        "occurs_min_user": q_occurs,
+        "verdicts": q_verdicts,
+        "violations_by_constraint": q_violations_by_constraint,
+        "stats_transcripts": q_stats_transcripts,
+        "stats_by_role": q_stats_by_role,
+        "drift_value": q_drift_value,
+        "tpch_keyref_customer": q_tpch_keyref_customer,
+        "tpch_linenumber_contig": q_tpch_linenumber_contig,
+        "tpch_facets": q_tpch_facets,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "ann_cosine": q_ann_cosine,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_fast": q_minhash_fast,
+        "stats_approx": q_stats_approx,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w = _WIN
+    sql: dict[str, str] = {}
+
+    sql["enum_role"] = f"""
+WITH t AS ({_CTE})
+SELECT role AS offending_value, CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE role NOT IN {_ROLE_ENUM}
+GROUP BY role
+"""
+
+    sql["required_tool"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM t WHERE role = 'tool' AND tool IS NULL
+"""
+
+    sql["pattern_tool"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, tool
+FROM t WHERE tool IS NOT NULL AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+"""
+
+    sql["unique_turn"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t WHERE turn_idx IS NOT NULL
+GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+"""
+
+    sql["keyref_tool"] = f"""
+WITH t AS ({_CTE})
+{_KEYREF_MISS_GROUPS}
+"""
+
+    sql["contiguity"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM ord
+WHERE (prev_idx IS NULL AND turn_idx <> 0)
+   OR (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)
+"""
+
+    sql["ts_monotone"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM ord WHERE prev_ts IS NOT NULL AND ts < prev_ts
+"""
+
+    sql["first_turn"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM ord WHERE rn = 1 AND role NOT IN ('system','user')
+"""
+
+    sql["transitions"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM ord WHERE {_TRANSITION_BAD}
+"""
+
+    sql["occurs_min_user"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(COUNT(*) FILTER (role = 'user') AS VARCHAR(30)) AS n_user
+FROM t GROUP BY conv_id
+HAVING COUNT(*) FILTER (role = 'user') < 1
+"""
+
+    sql["verdicts"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE},
+viol AS (
+  SELECT conv_id FROM t WHERE role NOT IN {_ROLE_ENUM}
+  UNION ALL
+  SELECT conv_id FROM t WHERE role = 'tool' AND tool IS NULL
+  UNION ALL
+  SELECT conv_id FROM t
+  WHERE tool IS NOT NULL AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+  UNION ALL
+  SELECT conv_id FROM t WHERE turn_idx IS NOT NULL AND turn_idx < 0
+  UNION ALL
+  SELECT conv_id FROM t WHERE text IS NOT NULL AND length(text) < 1
+  UNION ALL
+  SELECT conv_id FROM ord
+  WHERE (prev_idx IS NULL AND turn_idx <> 0)
+     OR (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)
+  UNION ALL
+  SELECT conv_id FROM ord WHERE prev_ts IS NOT NULL AND ts < prev_ts
+  UNION ALL
+  SELECT conv_id FROM ord WHERE rn = 1 AND role NOT IN ('system','user')
+  UNION ALL
+  SELECT conv_id FROM ord WHERE {_TRANSITION_BAD}
+  UNION ALL
+  SELECT conv_id FROM (
+    SELECT conv_id, turn_idx FROM t WHERE turn_idx IS NOT NULL
+    GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+  )
+  UNION ALL
+  SELECT conv_id FROM ({_KEYREF_MISS_GROUPS})
+  UNION ALL
+  SELECT conv_id FROM t GROUP BY conv_id
+  HAVING COUNT(*) FILTER (role = 'user') < 1
+)
+SELECT s.conv_id,
+       CAST(COALESCE(v.n, 0) AS BIGINT) AS n_violations,
+       CASE WHEN COALESCE(v.n, 0) > 0 THEN 'invalid' ELSE 'valid' END
+         AS validity
+FROM (SELECT DISTINCT conv_id FROM t) s
+LEFT JOIN (SELECT conv_id, COUNT(*) AS n FROM viol GROUP BY conv_id) v
+  USING (conv_id)
+"""
+
+    sql["violations_by_constraint"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE},
+viol AS (
+  SELECT 'facet:role:Enumeration' AS constraint_id FROM t
+  WHERE role NOT IN {_ROLE_ENUM}
+  UNION ALL
+  SELECT 'facet:tool:Required' FROM t WHERE role = 'tool' AND tool IS NULL
+  UNION ALL
+  SELECT 'facet:tool:Pattern' FROM t
+  WHERE tool IS NOT NULL AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+  UNION ALL
+  SELECT 'facet:turn_idx:MinInclusive' FROM t
+  WHERE turn_idx IS NOT NULL AND turn_idx < 0
+  UNION ALL
+  SELECT 'facet:text:MinLength' FROM t
+  WHERE text IS NOT NULL AND length(text) < 1
+  UNION ALL
+  SELECT 'model:turn-contiguity' FROM ord
+  WHERE (prev_idx IS NULL AND turn_idx <> 0)
+     OR (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)
+  UNION ALL
+  SELECT 'model:ts-monotone' FROM ord
+  WHERE prev_ts IS NOT NULL AND ts < prev_ts
+  UNION ALL
+  SELECT 'model:first-is-system-or-user' FROM ord
+  WHERE rn = 1 AND role NOT IN ('system','user')
+  UNION ALL
+  SELECT 'model:role-transitions' FROM ord WHERE {_TRANSITION_BAD}
+  UNION ALL
+  SELECT 'key:turn-key' FROM (
+    SELECT conv_id, turn_idx FROM t WHERE turn_idx IS NOT NULL
+    GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+  )
+  UNION ALL
+  SELECT 'keyref:tool-ref' FROM ({_KEYREF_MISS_GROUPS})
+  UNION ALL
+  SELECT 'occurs:min-one-user' FROM t GROUP BY conv_id
+  HAVING COUNT(*) FILTER (role = 'user') < 1
+)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM viol GROUP BY constraint_id
+"""
+
+    sql["stats_transcripts"] = f"""
+WITH t AS ({_CTE})
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) FILTER (role IS NULL) AS BIGINT) AS role_nulls,
+  CAST(COUNT(DISTINCT role) AS BIGINT) AS role_distinct,
+  CAST(COUNT(*) FILTER (tool IS NULL) AS BIGINT) AS tool_nulls,
+  CAST(COUNT(DISTINCT tool) AS BIGINT) AS tool_distinct,
+  CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS text_nulls,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS text_distinct,
+  CAST(COUNT(*) FILTER (turn_idx IS NULL) AS BIGINT) AS turn_idx_nulls,
+  CAST(COUNT(DISTINCT turn_idx) AS BIGINT) AS turn_idx_distinct,
+  CAST(MIN(turn_idx) AS BIGINT) AS turn_idx_min,
+  CAST(MAX(turn_idx) AS BIGINT) AS turn_idx_max,
+  CAST(MIN(LENGTH(role)) AS BIGINT) AS role_minlen,
+  CAST(MAX(LENGTH(role)) AS BIGINT) AS role_maxlen,
+  CAST(MIN(LENGTH(text)) AS BIGINT) AS text_minlen,
+  CAST(MAX(LENGTH(text)) AS BIGINT) AS text_maxlen,
+  CAST(MIN(LENGTH(tool)) AS BIGINT) AS tool_minlen,
+  CAST(MAX(LENGTH(tool)) AS BIGINT) AS tool_maxlen
+FROM t
+"""
+
+    sql["stats_by_role"] = f"""
+WITH t AS ({_CTE})
+SELECT role,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(COUNT(*) FILTER (tool IS NULL) AS BIGINT) AS tool_nulls
+FROM t GROUP BY GROUPING SETS ((role), ())
+"""
+
+    sql["drift_value"] = """
+WITH b AS (
+  SELECT MIN(epoch(ts)) AS lo, MAX(epoch(ts)) AS hi FROM events
+),
+mid AS (SELECT (lo + hi) / 2.0 AS m FROM b),
+vb AS (
+  SELECT MIN(value) AS vlo, MAX(value) AS vhi FROM events, mid
+  WHERE epoch(ts) < m
+),
+bucketed AS (
+  SELECT
+    CASE WHEN epoch(ts) >= m THEN 'cur' ELSE 'base' END AS side,
+    LEAST(GREATEST(CAST(FLOOR((value - vlo) / ((vhi - vlo) / 10.0))
+      AS BIGINT), 0), 9) AS bucket
+  FROM events, mid, vb
+  WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT bucket,
+    COUNT(*) FILTER (side = 'cur') AS n_cur,
+    COUNT(*) FILTER (side = 'base') AS n_base
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT SUM(n_cur) AS t_cur, SUM(n_base) AS t_base FROM hist),
+psi_v AS (
+  SELECT SUM(
+    ((n_cur / t_cur + 1e-6) - (n_base / t_base + 1e-6))
+    * LN((n_cur / t_cur + 1e-6) / (n_base / t_base + 1e-6))
+  ) AS psi FROM hist, tot
+),
+vals AS (
+  SELECT value AS v,
+    COUNT(*) FILTER (epoch(ts) >= m) AS n_a,
+    COUNT(*) FILTER (epoch(ts) < m) AS n_b
+  FROM events, mid WHERE value IS NOT NULL GROUP BY value
+),
+cdf AS (
+  SELECT
+    SUM(n_a) OVER (ORDER BY v) AS c_a,
+    SUM(n_b) OVER (ORDER BY v) AS c_b
+  FROM vals
+),
+tot2 AS (
+  SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM vals
+),
+ks_v AS (
+  SELECT MAX(ABS(c_a / t_a - c_b / t_b)) AS ks FROM cdf, tot2
+)
+SELECT 'value' AS "column", ROUND(psi, 6) AS psi, ROUND(ks, 6) AS ks
+FROM psi_v, ks_v
+"""
+
+    sql["tpch_keyref_customer"] = """
+SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0
+)
+GROUP BY o.o_custkey
+"""
+
+    sql["tpch_linenumber_contig"] = """
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(l_linenumber) AS BIGINT) AS min_ln,
+       CAST(MAX(l_linenumber) AS BIGINT) AS max_ln
+FROM lineitem GROUP BY l_orderkey
+HAVING MIN(l_linenumber) <> 1 OR MAX(l_linenumber) <> COUNT(*)
+"""
+
+    sql["tpch_facets"] = """
+WITH viol AS (
+  SELECT 'facet:l_quantity:MinInclusive' AS constraint_id FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_quantity < 1.0
+  UNION ALL
+  SELECT 'facet:l_quantity:MaxInclusive' FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_quantity > 30.0
+  UNION ALL
+  SELECT 'facet:l_discount:MaxInclusive' FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_discount > 0.05
+  UNION ALL
+  SELECT 'facet:l_returnflag:Enumeration' FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+  UNION ALL
+  SELECT 'facet:l_linestatus:Enumeration' FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F')
+)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM viol GROUP BY constraint_id
+"""
+
+    sql["dedup_fingerprint"] = """
+WITH fp AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_filter(list_distinct(
+      string_split_regex(text, '\\s+')), t -> t <> '')), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+    sql["dedup_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '')) AS token
+  FROM documents
+),
+sizes AS (SELECT id, COUNT(*) AS n_tok FROM toks GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT p.id_a, p.id_b, p.inter,
+       CAST(sa.n_tok AS BIGINT) AS n_a, CAST(sb.n_tok AS BIGINT) AS n_b
+FROM pairs p
+JOIN sizes sa ON sa.id = p.id_a
+JOIN sizes sb ON sb.id = p.id_b
+WHERE (2 + 1) * p.inter >= 1 * (sa.n_tok + sb.n_tok)
+"""
+
+    # portable md5 minhash: same seed strings, lexicographic min over hex
+    minh = ", ".join(
+        f"MIN(md5('42:{i}:' || token)) AS h{i}" for i in range(8)
+    )
+    band_keys = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bkey "
+        f"FROM sigs"
+        for b in range(4)
+    )
+    sql["dedup_minhash"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '')) AS token
+  FROM documents
+),
+sigs AS (SELECT id, {minh} FROM toks GROUP BY id),
+buckets AS ({band_keys})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+"""
+
+    sql["ann_cosine"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(
+    list_dot_product(embedding, qv)
+    / (sqrt(list_dot_product(embedding, embedding))
+       * sqrt(list_dot_product(qv, qv))), 6) AS cos
+FROM e, q
+WHERE list_dot_product(embedding, embedding) > 0
+"""
+
+    sql["text_metrics"] = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split(text, ' '),
+    t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+FROM documents
+"""
+
+    sql["lang_id"] = """
+WITH m AS (
+  SELECT lang,
+    len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ('the','and','of','to','is'))) AS c_en,
+    len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ('el','la','de','que','y'))) AS c_es,
+    len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ('le','les','des','est','une'))) AS c_fr,
+    len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ('der','die','das','und','ist'))) AS c_de
+  FROM documents
+),
+p AS (
+  SELECT lang,
+    CASE
+      WHEN GREATEST(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) THEN 'en'
+      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) THEN 'es'
+      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) THEN 'fr'
+      ELSE 'de'
+    END AS lang_pred
+  FROM m
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred
+"""
+
+    sql["doc_fingerprints"] = """
+SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+    return sql

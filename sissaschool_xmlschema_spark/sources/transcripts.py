@@ -154,6 +154,7 @@ SELECT
   ) AS turn_idx,
   CASE
     WHEN event_id % 97 = 0 THEN 'alien'
+    WHEN event_type = 'click' AND user_id % 31 = 0 THEN 'assistant'
     WHEN event_type = 'signup' THEN 'system'
     WHEN event_type = 'click' THEN 'user'
     WHEN event_type = 'view' THEN 'assistant'
@@ -170,7 +171,7 @@ SELECT
       THEN 'tool-' || lpad(CAST(event_id % 400 AS VARCHAR(30)), 3, '0')
     ELSE NULL
   END AS tool,
-  ts,
+  CASE WHEN event_id % 149 = 0 THEN ts - INTERVAL 3 DAY ELSE ts END AS ts,
   value
 FROM (
   SELECT *, row_number() OVER (
@@ -191,3 +192,62 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transcripts_from_events_cte(events_table: str = "events") -> str:
     """The identical derivation as a CTE body for DuckDB oracle SQL."""
     return TRANSCRIPTS_FROM_EVENTS_SQL.format(events=events_table)
+
+
+def events_transcript_spec():
+    """Spec for the events-derived transcripts view — every family is also
+    expressible as ANSI SQL so the DuckDB oracle can reproduce the full
+    constraint suite (driver correctness gate).
+
+    Mirrors ``spec.transcript_spec`` minus checks that cannot fire on the
+    derivation (conv_id pattern, ts Required) and with deterministic window
+    tiebreakers because the planted corruption duplicates ``turn_idx``.
+    """
+    from sissaschool_xmlschema_spark import spec as S
+
+    return S.TableSpec(
+        name="transcripts",
+        scope_col="conv_id",
+        order_col="turn_idx",
+        tiebreakers=("ts", "text", "value"),
+        columns=(
+            S.ColumnSpec("turn_idx", (S.MinInclusive(0),)),
+            S.ColumnSpec(
+                "role",
+                (S.Enumeration(("system", "user", "assistant", "tool")),),
+            ),
+            S.ColumnSpec("text", (S.MinLength(1),)),
+            S.ColumnSpec(
+                "tool",
+                (S.Pattern(("tool-[0-9]{3}",)), S.Required(when="role = 'tool'")),
+            ),
+        ),
+        identities=(
+            S.Key("turn-key", fields=("turn_idx",), scope="conv_id"),
+            S.Keyref(
+                "tool-ref",
+                fields=("tool",),
+                refer_fields=("tool",),
+                scope="conv_id",
+                selector="role = 'tool'",
+                refer_selector="role = 'assistant' AND tool IS NOT NULL",
+            ),
+        ),
+        model=(
+            S.Contiguity(),
+            S.Monotone("ts-monotone", column="ts", strict=False),
+            S.Occurs("min-one-user", where="role = 'user'", min_occurs=1),
+            S.FirstTurn("first-is-system-or-user", where="role IN ('system','user')"),
+            S.Transition(
+                "role-transitions",
+                column="role",
+                allowed={
+                    "system": ("user",),
+                    "user": ("assistant",),
+                    "assistant": ("user", "assistant", "tool"),
+                    "tool": ("assistant", "tool"),
+                },
+                start=("system", "user"),
+            ),
+        ),
+    )

@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values (sorted rows, columns
+sorted by name — the driver's value-hash equivalent).
+
+Usage: python tools/check_oracle.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def normalize(df):
+    """Pandas frame → sorted list of tuples with columns sorted by name."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.9g}"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm_cell(x) for x in v)
+        return v
+
+    rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    selected = args.queries or list(qs)
+    n_fail = 0
+    for name in selected:
+        fn = qs[name]
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(
+                f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+        if len(sdf) != len(odf):
+            problems.append(f"rows spark={len(sdf)} oracle={len(odf)}")
+        if not problems:
+            a, b = normalize(sdf), normalize(odf)
+            if a != b:
+                diff_a = [r for r in a if r not in set(b)][:3]
+                diff_b = [r for r in b if r not in set(a)][:3]
+                problems.append(
+                    f"values differ; spark-only={diff_a} oracle-only={diff_b}"
+                )
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"ok    {name} ({len(sdf)} rows)")
+    print(f"\n{len(selected) - n_fail}/{len(selected)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
