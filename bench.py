@@ -1,0 +1,202 @@
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline jobs at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "validated turns/sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+The headline metric is the north rule's: **validated turns/sec** for the full
+constraint suite (facets + uniqueness + keyref + model + drift hooks) over a
+~10^6-turn deterministic synthetic transcript table (materialized once to
+parquet in /tmp so every run reads columnar storage like production reads
+Iceberg).
+
+``--scaling`` mode evidences the two-cluster-size criterion (BASELINE.md): the
+same suite at local[8] vs local[32] on the same parquet input, 3 repetitions,
+median; writes BENCH/BASELINE.md with throughput at both and the scaling
+efficiency (target ≥ 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TABLE = "/tmp/spark_graft_bench/transcripts_1m.parquet"
+BENCH_CONVS = 40_000  # ~1.06M turns with the skewed length distribution
+SEED = 42
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("xmlschema-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_bench_table(spark) -> int:
+    """Materialize the deterministic ~1M-turn transcript table once."""
+    from sissaschool_xmlschema_spark.sources.transcripts import (
+        corrupt_transcripts,
+        synthetic_transcripts,
+    )
+
+    if not os.path.exists(BENCH_TABLE):
+        df = corrupt_transcripts(
+            synthetic_transcripts(spark, n_convs=BENCH_CONVS, seed=SEED),
+            every=101,
+            seed=SEED,
+        )
+        df.repartition(32).write.mode("overwrite").parquet(BENCH_TABLE)
+    return spark.read.parquet(BENCH_TABLE).count()
+
+
+def run_suite(spark) -> tuple[float, int, int]:
+    """Full constraint suite over the bench table; returns (sec, rows, viols)."""
+    from sissaschool_xmlschema_spark.plans.runner import validate
+    from sissaschool_xmlschema_spark.spec import transcript_spec
+
+    df = spark.read.parquet(BENCH_TABLE)
+    n_rows = df.count()
+    t0 = time.perf_counter()
+    res = validate(df, transcript_spec())
+    n_viol = res.violations.count()
+    dt = time.perf_counter() - t0
+    return dt, n_rows, n_viol
+
+
+def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query wall times for representative operators at the bench SF."""
+    import __spark_entry__ as entry
+
+    names = [
+        "verdicts",
+        "violations_by_constraint",
+        "stats_transcripts",
+        "stats_approx",
+        "drift_value",
+        "tpch_keyref_customer",
+        "tpch_linenumber_contig",
+        "tpch_facets",
+        "dedup_fingerprint",
+        "ann_cosine",
+        "text_metrics",
+        "simhash_pairs",
+    ]
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        # count() forces full execution without collecting rows to the driver
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--suite-only", action="store_true",
+                    help="run only the 1M-turn suite, print one JSON line")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the N vs 4N cores protocol, write BENCH/BASELINE.md")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.scaling:
+        return scaling_protocol(args.reps)
+
+    spark = _session(args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_bench_table(spark)
+    dt, n_rows, n_viol = run_suite(spark)
+    result = {
+        "metric": "validated turns/sec (full constraint suite, 1M-turn table)",
+        "value": round(n_rows / dt, 1),
+        "unit": "sec",
+        "suite_sec": round(dt, 3),
+        "suite_rows": n_rows,
+        "suite_violations": n_viol,
+        "cores": args.cores,
+        "sf": args.sf_dir,
+    }
+    if not args.suite_only:
+        result["queries"] = run_sf_queries(spark, args.sf_dir)
+    print(json.dumps(result))
+    return 0
+
+
+def scaling_protocol(reps: int) -> int:
+    """local[8] vs local[32] on the same input — BASELINE.md §sandbox."""
+    me = os.path.abspath(__file__)
+    results: dict[int, list[float]] = {8: [], 32: []}
+    rows = viols = 0
+    for rep in range(reps):
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, me, "--suite-only", "--cores", str(cores)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            results[cores].append(r["value"])
+            rows, viols = r["suite_rows"], r["suite_violations"]
+            print(f"rep {rep} cores {cores}: {r['value']} turns/s "
+                  f"({r['suite_sec']}s)", file=sys.stderr)
+    t8 = statistics.median(results[8])
+    t32 = statistics.median(results[32])
+    eff = (t32 / t8) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Protocol (BASELINE.md): identical job — full constraint suite over the
+deterministic {rows:,}-turn corrupted transcript table ({viols:,} violations
+found) read from parquet — at local[8] and local[32], same spark conf
+(AQE on, Arrow on, shuffle.partitions = 2×cores), {reps} repetitions, median.
+
+| parallelism | validated turns/sec (median) | all reps |
+|---|---|---|
+| local[8]  (N)  | {t8:,.0f} | {[f'{v:,.0f}' for v in results[8]]} |
+| local[32] (4N) | {t32:,.0f} | {[f'{v:,.0f}' for v in results[32]]} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.2f}**
+(target ≥ 0.8 per BASELINE.json north rule).
+
+Environment: PySpark 4.1.2, 32-core host, single JVM local mode; see
+BASELINE.md for why this stands in for the two-cluster-size criterion.
+""")
+    print(json.dumps({
+        "metric": "scaling efficiency local[8]->local[32]",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns_per_sec": {"local8": t8, "local32": t32},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
