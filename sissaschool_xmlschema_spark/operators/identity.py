@@ -46,7 +46,7 @@ def _violation_select(df: DataFrame, scope: str | None, order: str | None,
         F.col(scope).cast("string") if scope else F.lit(None).cast("string")
     )
     order_col = (
-        F.col(order).cast("long")
+        F.col(order).try_cast("long")
         if order and order in fields
         else F.lit(None).cast("long")
     )
@@ -110,7 +110,7 @@ def key_missing_field_violations(df: DataFrame, c: S.Key, table: str,
         F.col(c.scope).cast("string") if c.scope else F.lit(None).cast("string")
     )
     order_expr = (
-        F.col(order_col).cast("long") if order_col else F.lit(None).cast("long")
+        F.col(order_col).try_cast("long") if order_col else F.lit(None).cast("long")
     )
     reason = F.lit(
         f"missing key field for identity constraint '{c.name}' "

@@ -166,7 +166,7 @@ def model_window_violations(
     return (
         staged.select(
             F.col(scope).cast("string").alias("conv_id"),
-            F.col(order).cast("long").alias("turn_idx"),
+            F.col(order).try_cast("long").alias("turn_idx"),
             F.explode(arr).alias("_v"),
         )
         .select(

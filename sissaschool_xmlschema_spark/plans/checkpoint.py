@@ -1,0 +1,167 @@
+"""Per-partition checkpointed validation runs with lineage + metrics.
+
+North-star requirement: "resumable from checkpoint with per-partition lineage +
+metrics written per Iceberg partition".  The reference's analogues are the
+identity-counter merge after lazy runs (xmlschema/validators/schemas.py:1386-1389)
+and the ``protect_status`` copy-on-error rollback (xsd_globals.py:580-603): work
+is chunked, each chunk's effects are either fully applied or rolled back, and a
+re-run continues from recorded state.
+
+Model: the input table is split by a coarse partition expression (in production
+an Iceberg partition like ``days(ts)`` or ``bucket(conv_id)``); each partition
+is validated as a normal distributed job, its violation rows land under
+``out_dir/part=<value>/`` with dynamic overwrite semantics (idempotent re-runs),
+and a JSON manifest records status, metrics, spec hash, and input lineage.
+``resume=True`` skips partitions already marked done with the same spec hash —
+the driver-side loop is over *partitions* (days), not rows, so it stays O(few
+hundred) iterations even at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.plans.runner import validate
+
+ENGINE_VERSION = "0.1"
+
+
+def spec_hash(spec: S.TableSpec) -> str:
+    """Stable fingerprint of a spec — a resumed run must use the same plan
+    (a changed spec invalidates prior partitions, like a schema rebuild)."""
+    return hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+
+
+@dataclass
+class Manifest:
+    """The checkpoint manifest: one JSON file, atomically replaced."""
+
+    path: str
+    spec_hash: str = ""
+    input_lineage: str = ""
+    partitions: Dict[str, dict] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        if os.path.exists(path):
+            with open(path) as f:
+                raw = json.load(f)
+            return cls(
+                path=path,
+                spec_hash=raw.get("spec_hash", ""),
+                input_lineage=raw.get("input_lineage", ""),
+                partitions=raw.get("partitions", {}),
+            )
+        return cls(path=path)
+
+    def save(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "engine_version": ENGINE_VERSION,
+                    "spec_hash": self.spec_hash,
+                    "input_lineage": self.input_lineage,
+                    "partitions": self.partitions,
+                },
+                f,
+                indent=2,
+                sort_keys=True,
+            )
+        os.replace(tmp, self.path)  # atomic on POSIX — no torn manifests
+
+    def done(self, part: str) -> bool:
+        return self.partitions.get(part, {}).get("status") == "done"
+
+
+@dataclass
+class PartitionResult:
+    partition: str
+    n_rows: int
+    n_violations: int
+    wall_s: float
+    skipped: bool = False
+
+
+def run_checkpointed(
+    df: DataFrame,
+    spec: S.TableSpec,
+    partition_expr: str,
+    checkpoint_dir: str,
+    out_dir: Optional[str] = None,
+    resume: bool = True,
+    input_lineage: str = "",
+) -> List[PartitionResult]:
+    """Validate partition-by-partition with checkpoint/resume.
+
+    ``partition_expr`` is a SQL expression producing the coarse partition key
+    (e.g. ``"to_date(ts)"`` or ``"pmod(hash(conv_id), 16)"``).  Each partition:
+
+    1. filter (partition pruning in production: the expression matches the
+       table's physical partitioning, so the scan reads only that partition),
+    2. run the full constraint suite,
+    3. write violations under ``out_dir/part=<key>/`` (overwrite → idempotent),
+    4. record metrics + lineage in the manifest and atomically save it.
+
+    A crash between 3 and 4 re-runs one partition on resume — safe because the
+    write is an overwrite (the protect_status rollback idea).
+    """
+    sh = spec_hash(spec)
+    manifest = Manifest.load(os.path.join(checkpoint_dir, "manifest.json"))
+    if manifest.spec_hash and manifest.spec_hash != sh and resume:
+        # spec changed → prior progress is invalid (reference rebuilds the
+        # whole schema on component change)
+        manifest.partitions = {}
+    manifest.spec_hash = sh
+    manifest.input_lineage = input_lineage
+
+    keyed = df.withColumn("_part", F.expr(partition_expr))
+    parts = [
+        str(r["_part"]) for r in
+        keyed.select("_part").distinct().orderBy("_part").collect()
+    ]
+
+    results: List[PartitionResult] = []
+    for part in parts:
+        if resume and manifest.done(part):
+            m = manifest.partitions[part]
+            results.append(
+                PartitionResult(part, m["n_rows"], m["n_violations"],
+                                m["wall_s"], skipped=True)
+            )
+            continue
+        t0 = time.perf_counter()
+        pdf = keyed.filter(F.col("_part") == part).drop("_part")
+        res = validate(pdf, spec)
+        if out_dir:
+            res.violations.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"part={part}")
+            )
+            n_viol = df.sparkSession.read.parquet(
+                os.path.join(out_dir, f"part={part}")
+            ).count()
+        else:
+            n_viol = res.violations.count()
+        n_rows = pdf.count()
+        wall = time.perf_counter() - t0
+        manifest.partitions[part] = {
+            "status": "done",
+            "n_rows": n_rows,
+            "n_violations": n_viol,
+            "wall_s": round(wall, 3),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "spec_hash": sh,
+        }
+        manifest.save()
+        results.append(PartitionResult(part, n_rows, n_viol, wall))
+    return results

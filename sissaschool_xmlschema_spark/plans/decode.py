@@ -1,0 +1,116 @@
+"""Validated decoding — the distributed ``schema.decode`` / ``to_dict``.
+
+The reference decodes while validating: lexical forms become typed Python
+values via each simple type's ``text_decode``, and failures become errors in
+the same pass (xmlschema/documents.py:275-299 → schemas.py:1407-1437;
+DecodeContext datatype options validators/validation.py:321-371).
+
+Spark lowering: decoding a table = one typed-cast projection emitting BOTH the
+clean typed DataFrame and a cast-failure side channel, in a single scan.
+``try_cast`` semantics (NULL on failure) distinguish "was null" from "failed
+to decode" by comparing against the source nullness — no exceptions, no row
+path, and Catalyst prunes whichever output a consumer doesn't use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldDecode:
+    """One column's decode rule: target Spark type + optional parse format.
+
+    ``fmt`` applies to date/timestamp targets (to_timestamp/to_date pattern);
+    other types use ANSI try_cast.  ``default`` mirrors XSD default values
+    (missing → default, elements.py:748-770).
+    """
+
+    name: str
+    dtype: str
+    fmt: Optional[str] = None
+    default: Optional[object] = None
+
+
+def _decode_col(fd: FieldDecode) -> Column:
+    c = F.col(fd.name)
+    if fd.fmt and fd.dtype in ("timestamp", "timestamp_ntz"):
+        out = F.try_to_timestamp(c, F.lit(fd.fmt))
+    elif fd.fmt and fd.dtype == "date":
+        out = F.try_to_timestamp(c, F.lit(fd.fmt)).cast("date")
+    else:
+        out = c.try_cast(fd.dtype)
+    if fd.default is not None:
+        out = F.coalesce(out, F.lit(fd.default).cast(fd.dtype))
+    return out
+
+
+def decode(
+    df: DataFrame,
+    fields: Sequence[FieldDecode],
+    keep_columns: Sequence[str] = (),
+    errors_as: str = "dataframe",
+) -> Tuple[DataFrame, DataFrame]:
+    """Typed decode with a cast-failure side channel, one scan each.
+
+    Returns ``(typed, failures)``:
+
+    * ``typed`` — the input with each field replaced by its decoded value
+      (NULL where undecodable, default applied), plus ``keep_columns``
+      passed through untouched.
+    * ``failures`` — rows ``(column, offending_value, n)``: each distinct
+      undecodable lexical form with its multiplicity, the decode-error
+      aggregation (reason strings mirror XMLSchemaDecodeError,
+      exceptions.py:342-369).
+    """
+    typed = df.select(
+        *[F.col(k) for k in keep_columns],
+        *[_decode_col(fd).alias(fd.name) for fd in fields],
+    )
+
+    fail_structs = []
+    for fd in fields:
+        src = F.col(fd.name)
+        decoded = _decode_col(fd)
+        failed = src.isNotNull() & decoded.isNull() if fd.default is None else (
+            src.isNotNull() & src.try_cast(fd.dtype).isNull()
+            if not fd.fmt
+            else src.isNotNull() & F.try_to_timestamp(src, F.lit(fd.fmt)).isNull()
+        )
+        fail_structs.append(
+            F.when(
+                failed,
+                F.struct(
+                    F.lit(fd.name).alias("column"),
+                    src.cast("string").alias("offending_value"),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*fail_structs), lambda x: x.isNotNull())
+    failures = (
+        df.select(F.explode(arr).alias("_f"))
+        .select("_f.column", "_f.offending_value")
+        .groupBy("column", "offending_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return typed, failures
+
+
+def decode_transcripts(df: DataFrame) -> Tuple[DataFrame, DataFrame]:
+    """Canonical transcript decode: string-typed ingest → typed table.
+
+    ``text`` is passed through UNTOUCHED (whiteSpace=preserve,
+    builtins.py:79-84): the per-turn text-equality invariant.
+    """
+    return decode(
+        df,
+        fields=(
+            FieldDecode("turn_idx", "int"),
+            FieldDecode("ts", "timestamp"),
+        ),
+        keep_columns=("conv_id", "role", "text", "tool"),
+    )

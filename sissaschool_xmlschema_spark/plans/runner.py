@@ -85,7 +85,7 @@ def row_local_violations(df: DataFrame, plan: CompiledPlan) -> Optional[DataFram
     return (
         df.select(
             F.col(spec.scope_col).cast("string").alias("conv_id"),
-            F.col(spec.order_col).cast("long").alias("turn_idx"),
+            F.col(spec.order_col).try_cast("long").alias("turn_idx"),
             F.explode(arr).alias("_v"),
         )
         .select(

@@ -1,0 +1,141 @@
+"""Checkpoint/resume manifests and incremental (streaming) validation."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.plans.checkpoint import (
+    Manifest,
+    run_checkpointed,
+    spec_hash,
+)
+from sissaschool_xmlschema_spark.sources.transcripts import (
+    corrupt_transcripts,
+    synthetic_transcripts,
+)
+from sissaschool_xmlschema_spark.spec import transcript_spec
+from sissaschool_xmlschema_spark.streaming.incremental import (
+    run_incremental,
+    stateful_contiguity_stream,
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def small_spec():
+    return S.TableSpec(
+        name="transcripts",
+        columns=(
+            S.ColumnSpec(
+                "role", (S.Enumeration(("system", "user", "assistant", "tool")),)
+            ),
+        ),
+        identities=(S.Unique("turn-unique", fields=("turn_idx",), scope="conv_id"),),
+    )
+
+
+def test_checkpoint_run_and_resume(spark, tmp_path):
+    df = corrupt_transcripts(synthetic_transcripts(spark, n_convs=40))
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    r1 = run_checkpointed(
+        df, transcript_spec(), "pmod(hash(conv_id), 4)", ck, out
+    )
+    assert len(r1) == 4 and not any(p.skipped for p in r1)
+    total_viols = sum(p.n_violations for p in r1)
+    assert total_viols > 0
+    assert sum(p.n_rows for p in r1) == df.count()
+
+    # resume: everything skips, same numbers come from the manifest
+    r2 = run_checkpointed(
+        df, transcript_spec(), "pmod(hash(conv_id), 4)", ck, out
+    )
+    assert all(p.skipped for p in r2)
+    assert sum(p.n_violations for p in r2) == total_viols
+
+    # a partially-complete manifest resumes only the missing partitions
+    m = Manifest.load(str(tmp_path / "ck" / "manifest.json"))
+    dropped = sorted(m.partitions)[0]
+    del m.partitions[dropped]
+    m.save()
+    r3 = run_checkpointed(
+        df, transcript_spec(), "pmod(hash(conv_id), 4)", ck, out
+    )
+    assert sum(1 for p in r3 if not p.skipped) == 1
+    assert sum(p.n_violations for p in r3) == total_viols
+
+
+def test_spec_change_invalidates_checkpoint(spark, tmp_path):
+    df = synthetic_transcripts(spark, n_convs=10)
+    ck = str(tmp_path / "ck")
+    run_checkpointed(df, transcript_spec(), "pmod(hash(conv_id), 2)", ck)
+    assert spec_hash(transcript_spec()) != spec_hash(small_spec())
+    r = run_checkpointed(df, small_spec(), "pmod(hash(conv_id), 2)", ck)
+    assert not any(p.skipped for p in r)  # progress was discarded
+
+
+def test_incremental_cross_batch_duplicates(spark, tmp_path):
+    rows1 = [("c1", 0, "user", "a", None, TS), ("c1", 1, "assistant", "b", None, TS)]
+    rows2 = [("c1", 1, "user", "dup", None, TS), ("c2", 0, "alien", "x", None, TS)]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(src + "/f2.parquet")
+
+    res = run_incremental(
+        spark, src + "/*", small_spec(), str(tmp_path / "work"),
+        schema=schema, max_files_per_trigger=1,
+    )
+    assert res.n_batches == 2
+    # facet violation from batch 2 landed in the sink
+    v = res.violations(spark)
+    assert v.filter("constraint_id = 'facet:role:Enumeration'").count() == 1
+    # the (c1, 1) duplicate spans batches — only visible after the merge
+    dups = res.duplicate_keys(
+        spark, S.Unique("turn-unique", fields=("turn_idx",), scope="conv_id")
+    ).collect()
+    assert [(d["conv_id"], d["turn_idx"], d["_n"]) for d in dups] == [("c1", 1, 2)]
+
+    # re-run: stream checkpoint remembers processed files → no new batches
+    res2 = run_incremental(
+        spark, src + "/*", small_spec(), str(tmp_path / "work"),
+        schema=schema, max_files_per_trigger=1,
+    )
+    assert res2.n_batches == 0
+
+
+def test_stateful_contiguity_across_batches(spark, tmp_path):
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    src = str(tmp_path / "s2")
+    spark.createDataFrame(
+        [("c1", 0, "user", "a", None, TS), ("c1", 1, "assistant", "b", None, TS)],
+        schema,
+    ).repartition(1).write.parquet(src + "/f1.parquet")
+    # batch 2 jumps from 1 to 3 — the gap is only visible with cross-batch state
+    spark.createDataFrame(
+        [("c1", 3, "user", "c", None, TS)], schema
+    ).repartition(1).write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stateful_contiguity_stream(stream, small_spec())
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contig_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from contig_out").collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("c1", 3)]

@@ -1,0 +1,79 @@
+"""Typed decode (schema.decode analogue) and multimodal binary plumbing."""
+
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark.operators import multimodal
+from sissaschool_xmlschema_spark.plans.decode import (
+    FieldDecode,
+    decode,
+    decode_transcripts,
+)
+
+
+def test_decode_with_failure_side_channel(spark):
+    df = spark.createDataFrame(
+        [("1", "2024-01-01 00:00:00"), ("oops", "2024-01-02 00:00:00"),
+         ("3", "not-a-date"), (None, "not-a-date")],
+        "x string, d string",
+    )
+    typed, failures = decode(
+        df,
+        fields=(
+            FieldDecode("x", "int"),
+            FieldDecode("d", "timestamp", fmt="yyyy-MM-dd HH:mm:ss"),
+        ),
+    )
+    vals = [r["x"] for r in typed.orderBy("d").collect()]
+    assert vals.count(None) == 2  # 'oops' and the source NULL
+    f = {(r["column"], r["offending_value"]): r["n"] for r in failures.collect()}
+    assert f[("x", "oops")] == 1
+    assert f[("d", "not-a-date")] == 2  # multiplicity aggregated
+    assert ("x", None) not in f  # source nulls are not decode failures
+
+
+def test_decode_default_value(spark):
+    df = spark.createDataFrame([("bad",), ("7",)], "x string")
+    typed, failures = decode(df, fields=(FieldDecode("x", "int", default=0),))
+    assert sorted(r["x"] for r in typed.collect()) == [0, 7]
+    # failures still reported even when a default fills the hole
+    assert failures.count() == 1
+
+
+def test_decode_transcripts_preserves_text(spark):
+    raw = spark.createDataFrame(
+        [("c1", "0", "user", "keep\t\nwhitespace  intact", None,
+          "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx string, role string, text string, "
+        "tool string, ts string",
+    )
+    typed, _ = decode_transcripts(raw)
+    row = typed.first()
+    assert row["text"] == "keep\t\nwhitespace  intact"  # byte-identical
+    assert row["turn_idx"] == 0
+    assert row["ts"] is not None
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different")],
+        "doc_id int, text string",
+    )
+    media = multimodal.synthetic_media(spark, docs)
+    feats = multimodal.extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id["m-1"]["feature"]) == multimodal.FEATURE_DIM
+    # deterministic: identical payload → identical features
+    assert by_id["m-1"]["feature"] == by_id["m-2"]["feature"]
+    assert by_id["m-1"]["feature"] != by_id["m-3"]["feature"]
+    assert by_id["m-1"]["n_bytes"] == len(b"hello world")
+    assert all(0.0 <= v <= 1.0 for v in by_id["m-1"]["feature"])
+
+
+def test_multimodal_metadata_only_prunes_payload(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    media = multimodal.synthetic_media(spark, docs)
+    stats = multimodal.media_metadata_stats(media)
+    assert stats.first()["n"] == 1
+    # payload must not appear in the optimized plan's required columns
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan

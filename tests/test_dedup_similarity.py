@@ -1,0 +1,129 @@
+"""Dedup (exact / Jaccard / MinHash / SimHash / embedding) and ANN search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "quick brown fox the jumps over lazy the dog"),   # same token set as 1
+    (4, "completely different words entirely here now"),
+    (5, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = dedup.exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n"] == 2  # ids 1 and 5
+
+
+def test_normalized_fingerprint_catches_reordering(spark, docs):
+    groups = dedup.exact_dup_groups(
+        docs, "doc_id", "text", normalized=True
+    ).collect()
+    # 1, 3, 5 share the token set
+    assert len(groups) == 1 and groups[0]["n"] == 3
+
+
+def test_jaccard_pairs_exact_arithmetic(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["n_b"])
+        for r in dedup.token_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    # docs 1 and 2: tokens {the,quick,brown,fox,jumps,over,lazy,dog/cat}: 7 common of 8 each
+    assert pairs[(1, 2)] == (7, 8, 8)
+    # threshold 7/9 ≈ 0.778: ≥3/4 keeps (1,2); ≥4/5=0.8 drops it
+    kept = dedup.jaccard_dup_pairs(docs, "doc_id", "text", 3, 4).collect()
+    assert any((r["id_a"], r["id_b"]) == (1, 2) for r in kept)
+    kept80 = dedup.jaccard_dup_pairs(docs, "doc_id", "text", 4, 5).collect()
+    assert not any((r["id_a"], r["id_b"]) == (1, 2) for r in kept80)
+
+
+def test_max_doc_freq_skew_guard(spark, docs):
+    # 'the' appears in 4 of 5 docs; capping df at 3 removes it from joins
+    pairs = dedup.token_jaccard_pairs(
+        docs, "doc_id", "text", max_doc_freq=3
+    ).collect()
+    sizes = {r["id_a"]: r["n_a"] for r in pairs}
+    assert all(n < 9 for n in sizes.values())
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_minhash_identical_docs_always_pair(spark, docs, portable):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dup_pairs(
+            docs, "doc_id", "text", k=8, bands=4, portable=portable
+        ).collect()
+    }
+    assert (1, 5) in pairs  # identical text → identical signature
+    assert (1, 3) in pairs  # identical token SET → identical signature
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in
+            dedup.simhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[5]  # identical text → identical signature
+
+
+def test_simhash_long_docs_small_edit(spark):
+    # SimHash is statistical: long documents with a small edit stay within a
+    # few bits, unrelated documents land far apart
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = " ".join(
+        "CHANGED" if i in (7, 120) else f"tok{i}" for i in range(200)
+    )
+    other = " ".join(f"zzz{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id int, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dup_pairs(
+            df, "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "id int, v array<double>",
+    )
+    pairs = dedup.embedding_dup_pairs(df, "id", "v", threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "id int, v array<double>"
+    )
+    top = similarity.cosine_topk(df, "id", "v", [49.0, 1.0], k=3).collect()
+    assert [r["id"] for r in top] == [49, 48, 47]
+
+
+def test_lsh_topk_contains_query_itself(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(100)],
+        "id int, v array<double>",
+    )
+    q = [3.0, 2.0, 1.0]
+    res = similarity.lsh_topk(df, "id", "v", q, k=5, n_planes=3)
+    rows = res.collect()
+    assert 0 < len(rows) <= 5
+    # every returned row's bucket equals the query's bucket by construction;
+    # scores are true cosines (no approximation in the scoring)
+    assert all(r["cos"] <= 1.0 + 1e-9 for r in rows)

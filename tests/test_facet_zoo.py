@@ -1,0 +1,134 @@
+"""Facet battery — one column per facet family, clean + dirty values
+interleaved (mirrors the reference's tests/validators/test_facets.py and the
+F4 fixture in FIXTURES.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.facets import lower_facet
+from sissaschool_xmlschema_spark.functions.xsd_regex import (
+    XsdRegexError,
+    translate_and_anchor,
+    translate_pattern,
+)
+
+
+def check(spark, facet, values, dtype="string"):
+    """Apply one lowered facet to a column of values; return pass/fail list."""
+    df = spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+    ok, _reason = lower_facet(facet, "v")
+    return [r["ok"] for r in df.select(ok.alias("ok")).collect()]
+
+
+def test_length_family(spark):
+    assert check(spark, S.Length(3), ["abc", "ab", None]) == [True, False, True]
+    assert check(spark, S.MinLength(2), ["a", "ab", None]) == [False, True, True]
+    assert check(spark, S.MaxLength(2), ["ab", "abc", None]) == [True, False, True]
+
+
+def test_bounds_family(spark):
+    assert check(spark, S.MinInclusive(5), [5, 4, None], "int") == [True, False, True]
+    assert check(spark, S.MinExclusive(5), [6, 5, None], "int") == [True, False, True]
+    assert check(spark, S.MaxInclusive(5), [5, 6, None], "int") == [True, False, True]
+    assert check(spark, S.MaxExclusive(5), [4, 5, None], "int") == [True, False, True]
+
+
+def test_enumeration_with_nan(spark):
+    import math
+
+    vals = [1.0, 2.0, float("nan")]
+    got = check(spark, S.Enumeration((1.0, float("nan"))), vals, "double")
+    assert got == [True, False, True]  # NaN admitted when enum contains NaN
+
+
+def test_digits_family(spark):
+    # totalDigits counts significant digits of the decimal form
+    # (utils/decoding.py:32-52)
+    assert check(
+        spark, S.TotalDigits(4), ["123.4", "12345", "-001234", None]
+    ) == [True, False, True, True]
+    assert check(
+        spark, S.FractionDigits(2), ["1.23", "1.234", "1.2300", "5", None]
+    ) == [True, False, True, True, True]
+
+
+def test_whitespace_family(spark):
+    assert check(spark, S.WhiteSpace("preserve"), ["a\tb"]) == [True]
+    assert check(spark, S.WhiteSpace("replace"), ["a b", "a\tb"]) == [True, False]
+    assert check(
+        spark, S.WhiteSpace("collapse"), ["a b", "a  b", " a", "a "]
+    ) == [True, False, False, False]
+
+
+def test_explicit_timezone(spark):
+    vals = ["2024-01-01T00:00:00Z", "2024-01-01T00:00:00+02:00",
+            "2024-01-01T00:00:00"]
+    assert check(spark, S.ExplicitTimezone("required"), vals) == [
+        True, True, False]
+    assert check(spark, S.ExplicitTimezone("prohibited"), vals) == [
+        False, False, True]
+
+
+def test_boolean_lexical(spark):
+    assert check(
+        spark, S.BooleanLexical(), ["true", "1", "False", "yes", None]
+    ) == [True, True, False, False, True]
+
+
+def test_fixed_and_assertion(spark):
+    assert check(spark, S.FixedValue("x"), ["x", "y", None]) == [True, False, True]
+    assert check(
+        spark, S.Assertion("$value % 2 = 0"), [2, 3, None], "int"
+    ) == [True, False, True]
+
+
+def test_required_prohibited_conditional(spark):
+    df = spark.createDataFrame(
+        [("tool", "t1"), ("tool", None), ("user", None)],
+        "role string, tool string",
+    )
+    ok, _ = lower_facet(S.Required(when="role = 'tool'"), "tool")
+    assert [r[0] for r in df.select(ok).collect()] == [True, False, True]
+    okp, _ = lower_facet(S.Prohibited(when="role = 'user'"), "tool")
+    df2 = spark.createDataFrame(
+        [("user", "t1"), ("user", None), ("tool", "t1")],
+        "role string, tool string",
+    )
+    assert [r[0] for r in df2.select(okp).collect()] == [False, True, True]
+
+
+# --- XSD regex dialect -----------------------------------------------------
+
+
+def test_pattern_implicit_anchoring(spark):
+    # XSD patterns are full-match: 'abc' must NOT match inside 'xabcx'
+    got = check(spark, S.Pattern(("abc",)), ["abc", "xabcx"])
+    assert got == [True, False]
+
+
+def test_pattern_match_any_of_many(spark):
+    got = check(spark, S.Pattern(("cat", "dog")), ["cat", "dog", "cow"])
+    assert got == [True, True, False]
+
+
+def test_xsd_name_classes(spark):
+    # \i name-start, \c name chars (facets.py:747-753 translate_pattern)
+    got = check(spark, S.Pattern((r"\i\c*",)), ["a1-b.c", "1abc", "_x"])
+    assert got == [True, False, True]
+
+
+def test_class_subtraction():
+    java = translate_pattern("[a-z-[aeiou]]")
+    assert java == "[a-z&&[^aeiou]]"
+
+
+def test_unsupported_constructs_fail_at_compile_time():
+    with pytest.raises(XsdRegexError):
+        translate_pattern("a\\q")
+    with pytest.raises(XsdRegexError):
+        translate_pattern("tail\\")
+
+
+def test_anchored_wrapper():
+    assert translate_and_anchor("ab|cd") == "^(?:ab|cd)$"

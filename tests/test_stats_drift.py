@@ -1,0 +1,76 @@
+"""Single-pass stats and drift operators (north-star §2.4 additions)."""
+
+from pyspark.sql import functions as F
+
+from sissaschool_xmlschema_spark.operators import drift, stats
+
+
+def test_column_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "a")], "x int, s string"
+    )
+    row = stats.column_stats(
+        df, numeric_cols=["x"], string_cols=["s"], exact=True, quantiles=(0.5,)
+    ).first()
+    assert row["n_rows"] == 4
+    assert row["x_nulls"] == 1
+    assert row["x_distinct"] == 2
+    assert row["s_nulls"] == 1
+    assert row["s_distinct"] == 2
+    assert row["x_min"] == 1 and row["x_max"] == 2
+    assert row["x_quantiles"] == [2.0]
+    assert row["s_minlen"] == 1 and row["s_maxlen"] == 1
+
+
+def test_column_stats_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g2", 3)], "g string, x int"
+    )
+    out = stats.column_stats(
+        df, numeric_cols=["x"], grouping=["g"], exact=True, quantiles=()
+    )
+    rows = {r["g"]: r["n_rows"] for r in out.collect()}
+    # per-group rows plus the global (NULL-key) rollup in one pass
+    assert rows == {"g1": 2, "g2": 1, None: 3}
+
+
+def test_hll_close_to_exact(spark):
+    df = spark.range(10000).select(F.col("id").alias("x"))
+    row = stats.column_stats(
+        df, numeric_cols=["x"], exact=False, quantiles=(), rsd=0.02
+    ).first()
+    assert abs(row["x_distinct"] - 10000) / 10000 < 0.06
+
+
+def test_psi_zero_for_identical(spark):
+    df = spark.range(1000).select((F.col("id") % 50).alias("v"))
+    h = drift.bucketize(df, "v", 10, 0, 50)
+    val = drift.psi(h, h).first()["psi"]
+    assert abs(val) < 1e-9
+
+
+def test_psi_detects_shift(spark):
+    base = spark.range(1000).select((F.col("id") % 50).alias("v"))
+    cur = spark.range(1000).select((F.col("id") % 50 + 30).alias("v"))
+    rep = drift.drift_report(cur, base, "v", n_buckets=10, lo=0, hi=80)
+    row = rep.first()
+    assert row["psi"] > 0.25  # major drift
+    assert row["ks"] > 0.3
+
+
+def test_ks_bounds(spark):
+    a = spark.range(500).select((F.col("id") % 10).alias("v"))
+    b = spark.range(500).select((F.col("id") % 10).alias("v"))
+    assert drift.ks_statistic(a, b, "v").first()["ks"] == 0.0
+    c = spark.range(500).select((F.col("id") % 10 + 100).alias("v"))
+    # disjoint supports → KS = 1
+    assert drift.ks_statistic(a, c, "v").first()["ks"] == 1.0
+
+
+def test_drift_on_timestamp_column(spark):
+    df = spark.sql(
+        "SELECT timestamp_seconds(1704067200 + id * 60) AS ts FROM range(100)"
+    )
+    rep = drift.drift_report(df, df, "ts", n_buckets=5)
+    row = rep.first()
+    assert abs(row["psi"]) < 1e-9 and row["ks"] == 0.0
