@@ -192,14 +192,16 @@ def q_occurs(spark, sf_dir):
 def q_verdicts(spark, sf_dir):
     """FLAGSHIP: full-suite per-conversation verdict rollup
     (validity attribute semantics, schemas.py:851-876)."""
-    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    res = validate(_t(spark, sf_dir), events_transcript_spec(),
+                   cache_input=True)
     return res.verdicts()
 
 
 def q_violations_by_constraint(spark, sf_dir):
     """Full-suite violation counts per constraint id (lax error accumulation,
     validation.py:216-236)."""
-    res = validate(_t(spark, sf_dir), events_transcript_spec())
+    res = validate(_t(spark, sf_dir), events_transcript_spec(),
+                   cache_input=True)
     return res.by_constraint()
 
 
@@ -257,10 +259,11 @@ def q_drift_value(spark, sf_dir):
         F.max(F.unix_timestamp("ts").cast("double")).alias("hi"),
     ).first()
     mid = (b["lo"] + b["hi"]) / 2.0
-    epoch = F.unix_timestamp("ts").cast("double")
-    base = ev.filter(epoch < mid)
-    cur = ev.filter(epoch >= mid)
-    rep = drift.drift_report(cur, base, "value", n_buckets=10)
+    # single-scan variant: both snapshots live in one table, split by time
+    rep = drift.tagged_drift_report(
+        ev, "value", f"CAST(unix_timestamp(ts) AS DOUBLE) >= {mid!r}",
+        n_buckets=10,
+    )
     return rep.select(
         "column",
         F.round("psi", 6).alias("psi"),
@@ -285,6 +288,7 @@ def q_tpch_keyref_customer(spark, sf_dir):
         fields=("o_custkey",),
         refer_fields=("o_custkey",),
         refer_selector="c_acctbal >= 0",
+        broadcast_keys=True,  # customer dim is small relative to orders
     )
     m = keyref_misses(orders, c, keys_df=cust)
     return m.select("o_custkey", F.col("_n").alias("n"))
@@ -409,6 +413,32 @@ def q_doc_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
 
 
+def q_decode_failures(spark, sf_dir):
+    """Typed decode with cast-failure side channel (schema.decode analogue,
+    documents.py:275-299): distinct undecodable lexical forms + multiplicity."""
+    from sissaschool_xmlschema_spark.plans.decode import FieldDecode, decode
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    _typed, failures = decode(
+        ev,
+        fields=(
+            FieldDecode("props", "int"),
+            FieldDecode("event_type", "date"),
+        ),
+    )
+    return failures
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary payload plumbing: Arrow-batched feature extraction over
+    mapInPandas with the stubbed decode kernel (rows-only check)."""
+    from sissaschool_xmlschema_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, _docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))
+
+
 # non-SQL-expressible (rows-only check): production hash flavors
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64 — JVM-only, no oracle)."""
@@ -480,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "decode_failures": q_decode_failures,
+        "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,
         "minhash_fast": q_minhash_fast,
         "stats_approx": q_stats_approx,
@@ -872,6 +904,18 @@ FROM p GROUP BY lang, lang_pred
 
     sql["doc_fingerprints"] = """
 SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+    sql["decode_failures"] = """
+WITH f AS (
+  SELECT 'props' AS "column", props AS offending_value FROM events
+  WHERE props IS NOT NULL AND TRY_CAST(props AS INT) IS NULL
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  WHERE event_type IS NOT NULL AND TRY_CAST(event_type AS DATE) IS NULL
+)
+SELECT "column", offending_value, CAST(COUNT(*) AS BIGINT) AS n
+FROM f GROUP BY "column", offending_value
 """
 
     return sql

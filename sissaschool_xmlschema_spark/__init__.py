@@ -28,17 +28,22 @@ rows except in clearly-marked vectorized pandas-UDF paths.
 """
 
 from sissaschool_xmlschema_spark.spec import (  # noqa: F401
+    Assertion,
+    Base64Binary,
     BooleanLexical,
     ColumnSpec,
     Contiguity,
     Enumeration,
     ExplicitTimezone,
     FirstTurn,
+    FixedValue,
     FractionDigits,
+    HexBinary,
     Key,
     Keyref,
     LastTurn,
     Length,
+    ListOf,
     MaxExclusive,
     MaxInclusive,
     MaxLength,
@@ -47,13 +52,18 @@ from sissaschool_xmlschema_spark.spec import (  # noqa: F401
     MinLength,
     Monotone,
     Occurs,
+    PandasCheck,
     Pattern,
+    Prohibited,
     Required,
+    RowAssertion,
     TableSpec,
     TotalDigits,
     Transition,
     Unique,
+    UnionOf,
     WhiteSpace,
+    XsdError,
 )
 from sissaschool_xmlschema_spark.plans.compiler import compile_plan  # noqa: F401
 from sissaschool_xmlschema_spark.plans.runner import (  # noqa: F401

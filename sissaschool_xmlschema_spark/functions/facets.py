@@ -32,7 +32,13 @@ def _null_ok(col: Column, pred: Column) -> Column:
 
 def lower_facet(facet: S.Facet, column: str) -> Tuple[Column, str]:
     """Lower one facet on ``column`` to (ok_predicate, reason)."""
-    c = F.col(column)
+    return _lower(facet, F.col(column), column)
+
+
+def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
+    """Lower against an arbitrary Column expression — lets ListOf re-lower
+    item facets inside a ``forall`` lambda (item facets are value-space only;
+    row-context facets like Required/Assertion still reference ``column``)."""
 
     if isinstance(facet, S.Enumeration):
         vals = list(facet.values)
@@ -153,6 +159,57 @@ def lower_facet(facet: S.Facet, column: str) -> Tuple[Column, str]:
     if isinstance(facet, S.FixedValue):
         return _null_ok(c, c == F.lit(facet.value)), (
             f"must have the fixed value {facet.value!r}"
+        )
+
+    if isinstance(facet, S.HexBinary):
+        # even number of hex digits (hex_binary_validator, helpers.py:249-257)
+        return _null_ok(c, c.rlike("^([0-9a-fA-F]{2})*$")), (
+            "not a valid hexBinary lexical form"
+        )
+
+    if isinstance(facet, S.Base64Binary):
+        # canonical base64: 4-char groups, tail padding (helpers.py:240-246);
+        # unbase64 null-check would accept whitespace forms — be strict.
+        b64 = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+        return _null_ok(c, c.rlike(b64)), (
+            "not a valid base64Binary lexical form"
+        )
+
+    if isinstance(facet, S.XsdError):
+        # xs:error rejects every present value (helpers.py:260-262)
+        return c.isNull(), "the type xs:error admits no value"
+
+    if isinstance(facet, S.ListOf):
+        items = F.split(c, facet.separator)
+        pred = F.lit(True)
+        if facet.min_items is not None:
+            pred = pred & (F.size(items) >= facet.min_items)
+        if facet.max_items is not None:
+            pred = pred & (F.size(items) <= facet.max_items)
+        def item_pred(item_facet):
+            # closure factory, NOT a default-arg lambda: PySpark sniffs lambda
+            # arity and would bind the array index to the second parameter
+            return lambda it: _lower(item_facet, it, "__item__")[0]
+
+        for item_facet in facet.item_facets:
+            # re-lower the item facet against the lambda variable — stays
+            # row-local (split + forall), no explode
+            pred = pred & F.forall(items, item_pred(item_facet))
+        return _null_ok(c, pred), (
+            "not every list item satisfies the item type's facets"
+        )
+
+    if isinstance(facet, S.UnionOf):
+        any_ok = F.lit(False)
+        for alt in facet.alternatives:
+            alt_ok = F.lit(True)
+            for alt_facet in alt:
+                ok_a, _ = lower_facet(alt_facet, column)
+                alt_ok = alt_ok & ok_a
+            any_ok = any_ok | alt_ok
+        return _null_ok(c, any_ok), (
+            "value matches no member type of the union "
+            "(first-member-that-validates, simple_types.py:1183-1195)"
         )
 
     if isinstance(facet, S.Assertion):

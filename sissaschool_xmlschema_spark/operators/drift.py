@@ -166,3 +166,111 @@ def drift_report(
         p.crossJoin(k)
         .select(F.lit(col).alias("column"), "psi", "ks")
     )
+
+
+def tagged_drift_report(
+    df: DataFrame,
+    col: str,
+    current_when: str,
+    n_buckets: int = 10,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI + KS when both snapshots live in ONE table (e.g. split by a time
+    predicate): a single scan with conditional counts replaces two scans and a
+    union — half the I/O of :func:`drift_report` and the same numbers.
+
+    ``current_when`` is a SQL boolean; rows where it holds are "current", the
+    rest are the baseline.  Bounds default to the baseline side's min/max.
+    """
+    side = F.expr(current_when)
+    v = _as_double(df, col)
+    src = df.select(v.alias("v"), side.alias("_cur")).where(
+        F.col("v").isNotNull()
+    )
+    if lo is None or hi is None:
+        row = src.filter(~F.col("_cur")).agg(F.min("v"), F.max("v")).first()
+        lo = row[0] if lo is None else lo
+        hi = row[1] if hi is None else hi
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    bucket = F.least(
+        F.greatest(F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),
+                   F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        src.groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("n_cur"),
+            F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("n_base"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("n_cur").alias("t_cur"), F.sum("n_base").alias("t_base")
+    )
+    j = hist.crossJoin(F.broadcast(totals))
+    p = F.col("n_cur") / F.col("t_cur") + F.lit(eps)
+    q = F.col("n_base") / F.col("t_base") + F.lit(eps)
+    psi_df = j.agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+
+    # KS over distinct values — one groupBy with conditional counts, then the
+    # ordered cumulative window over |distinct values| rows
+    vals = src.groupBy("v").agg(
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("n_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    t2 = vals.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    cdf = vals.select(
+        F.sum("n_a").over(w).alias("c_a"),
+        F.sum("n_b").over(w).alias("c_b"),
+    ).crossJoin(F.broadcast(t2))
+    ks_df = cdf.agg(
+        F.max(F.abs(F.col("c_a") / F.col("t_a")
+                    - F.col("c_b") / F.col("t_b"))).alias("ks")
+    )
+    return psi_df.crossJoin(ks_df).select(
+        F.lit(col).alias("column"), "psi", "ks"
+    )
+
+
+def ks_statistic_binned(
+    current: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    n_buckets: int = 10_000,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """KS on fine-grained histograms — the 10^12-row path.
+
+    The exact KS needs an ordered cumulative sum over all *distinct* values;
+    for continuous columns that is O(n) rows through a single-partition window
+    — fine at 10^6, hostile at 10^12.  Binning first bounds the window input to
+    ``n_buckets`` rows and the answer within one bucket's probability mass
+    (error ≤ max bucket width density); 10^4 buckets ≈ 3 decimal digits.
+    """
+    if lo is None or hi is None:
+        row = baseline.agg(
+            F.min(_as_double(baseline, col)), F.max(_as_double(baseline, col))
+        ).first()
+        lo = row[0] if lo is None else lo
+        hi = row[1] if hi is None else hi
+    a = bucketize(current, col, n_buckets, lo, hi).withColumnRenamed("n", "n_a")
+    b = bucketize(baseline, col, n_buckets, lo, hi).withColumnRenamed("n", "n_b")
+    merged = a.join(b, "bucket", "full_outer").select(
+        F.col("bucket"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    totals = merged.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    cdf = merged.select(
+        F.sum("n_a").over(w).alias("c_a"),
+        F.sum("n_b").over(w).alias("c_b"),
+    ).crossJoin(F.broadcast(totals))
+    return cdf.agg(
+        F.max(F.abs(F.col("c_a") / F.col("t_a")
+                    - F.col("c_b") / F.col("t_b"))).alias("ks")
+    )

@@ -39,6 +39,7 @@ def model_window_violations(
     scope: str,
     order: str,
     tiebreakers: Sequence[str] = (),
+    fuse_occurs: bool = False,
 ) -> DataFrame | None:
     """All Contiguity / Monotone / FirstTurn / LastTurn / Transition checks in a
     single window pass.
@@ -47,12 +48,20 @@ def model_window_violations(
     ``explode(filter(array(...)))`` projection, so this runs as two selects over
     the SAME window partitioning: pass 1 materializes lag/row_number/count columns
     (one exchange + sort), pass 2 is a plain projection Catalyst fuses into it.
+
+    ``fuse_occurs=True`` additionally evaluates every Occurs bound as a
+    whole-partition window aggregate emitted on the group's first row — the
+    occurrence stage then costs ZERO extra scans/shuffles because it rides the
+    same exchange+sort this pass already pays for (validate() uses this
+    whenever both stage kinds are present).
     """
     w = Window.partitionBy(scope).orderBy(order, *tiebreakers)
     wp = Window.partitionBy(scope)
 
+    occurs = [c for c in checks if isinstance(c, S.Occurs)] if fuse_occurs else []
     lag_cols = {order}
-    needs_rn = needs_n = False
+    needs_rn = bool(occurs)
+    needs_n = False
     for chk in checks:
         if isinstance(chk, (S.Monotone, S.Transition)):
             lag_cols.add(chk.column)
@@ -66,6 +75,10 @@ def model_window_violations(
         helpers.append(F.row_number().over(w).alias("_rn"))
     if needs_n:
         helpers.append(F.count(F.lit(1)).over(wp).alias("_n_rows"))
+    for i, c in enumerate(occurs):
+        helpers.append(
+            F.sum(F.when(F.expr(c.where), 1).otherwise(0)).over(wp).alias(f"_occ_{i}")
+        )
     staged = df.select("*", *helpers)
 
     prev_order = F.col(f"_prev_{order}")
@@ -74,7 +87,7 @@ def model_window_violations(
 
     structs = []
 
-    def emit(ok, cid: str, value, reason: str) -> None:
+    def emit(ok, cid: str, value, reason: str, tix=None) -> None:
         structs.append(
             F.when(
                 ~ok,
@@ -83,6 +96,10 @@ def model_window_violations(
                     F.lit(cid).alias("constraint_id"),
                     truncate_value(value).alias("offending_value"),
                     F.lit(reason).alias("reason"),
+                    (
+                        tix if tix is not None
+                        else F.col(order).try_cast("long")
+                    ).alias("tix"),
                 ),
             )
         )
@@ -155,9 +172,28 @@ def model_window_violations(
                 f"illegal transition on '{chk.column}'",
             )
         elif isinstance(chk, S.Occurs):
-            continue  # handled by occurs_violations (groupBy pass)
+            continue  # fused below (or handled by occurs_violations)
         else:
             raise ValueError(f"unknown model check {chk!r}")
+
+    for i, c in enumerate(occurs):
+        n = F.col(f"_occ_{i}")
+        ok = n >= c.min_occurs
+        if c.max_occurs is not None:
+            ok = ok & (n <= c.max_occurs)
+        bound = (
+            f"[{c.min_occurs}, "
+            f"{'unbounded' if c.max_occurs is None else c.max_occurs}]"
+        )
+        # emit once per scope group (on its first row); turn_idx stays NULL
+        # to match the standalone groupBy formulation's output
+        emit(
+            (F.col("_rn") != 1) | ok,
+            f"occurs:{c.name}",
+            n,
+            f"occurrences of rows where ({c.where}) must be in {bound}",
+            tix=F.lit(None).cast("long"),
+        )
 
     if not structs:
         return None
@@ -166,12 +202,11 @@ def model_window_violations(
     return (
         staged.select(
             F.col(scope).cast("string").alias("conv_id"),
-            F.col(order).try_cast("long").alias("turn_idx"),
             F.explode(arr).alias("_v"),
         )
         .select(
             "conv_id",
-            "turn_idx",
+            F.col("_v.tix").alias("turn_idx"),
             "_v.path",
             "_v.constraint_id",
             "_v.offending_value",

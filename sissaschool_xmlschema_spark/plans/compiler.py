@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import List, Tuple
 
 from pyspark.sql import Column
+from pyspark.sql import functions as Fn
 
 from sissaschool_xmlschema_spark import spec as S
 from sissaschool_xmlschema_spark.functions.facets import facet_id, lower_facet
@@ -22,13 +23,17 @@ from sissaschool_xmlschema_spark.functions.facets import facet_id, lower_facet
 
 @dataclass
 class RowCheck:
-    """A compiled row-local check: one Column predicate + violation metadata."""
+    """A compiled row-local check: one Column predicate + violation metadata.
+
+    ``value_col`` names the column shown as offending_value (None → NULL,
+    e.g. for whole-row assertions)."""
 
     constraint_id: str
     path: str
     column: str
     ok: Column
     reason: str
+    value_col: str = None
 
 
 @dataclass
@@ -67,8 +72,22 @@ def compile_plan(spec: S.TableSpec) -> CompiledPlan:
                     column=col.name,
                     ok=ok,
                     reason=reason,
+                    value_col=col.name,
                 )
             )
+    for ra in getattr(spec, "row_assertions", ()):
+        # extra_validator analogue (validation.py:494-498) as a whole-row
+        # SQL predicate, fused into the same single projection pass
+        row_checks.append(
+            RowCheck(
+                constraint_id=f"assert:{ra.name}",
+                path=spec.name,
+                column=spec.order_col,
+                ok=Fn.expr(ra.expr),
+                reason=ra.reason or f"row assertion failed: {ra.expr}",
+                value_col=None,
+            )
+        )
     return CompiledPlan(
         spec=spec,
         row_checks=row_checks,

@@ -177,6 +177,47 @@ class Assertion(Facet):
 
 
 @dataclass(frozen=True)
+class HexBinary(Facet):
+    """Lexical space of xs:hexBinary: even count of hex digits —
+    helpers.py:249-257 (hex_binary_validator)."""
+
+
+@dataclass(frozen=True)
+class Base64Binary(Facet):
+    """Lexical space of xs:base64Binary — helpers.py:240-246
+    (base64_binary_validator); canonical form without inner whitespace."""
+
+
+@dataclass(frozen=True)
+class XsdError(Facet):
+    """xs:error — rejects every (present) value; XSD 1.1's empty type
+    (helpers.py:260-262, builtins.py:492-499)."""
+
+
+@dataclass(frozen=True)
+class ListOf(Facet):
+    """xs:list semantics (simple_types.py:842, decode :990-1018): the value is
+    a ``separator``-joined list of atomic items; every item must satisfy every
+    item facet, and the list length may be bounded.  Lowered with
+    ``split`` + ``forall`` — no explode, stays row-local."""
+
+    item_facets: Sequence[Facet] = ()
+    separator: str = " "
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class UnionOf(Facet):
+    """xs:union first-member-that-validates semantics (simple_types.py:1031,
+    decode :1177-1210): the value passes if ANY alternative's facet list fully
+    accepts it.  Lowered to an OR over the alternatives' AND-ed predicates —
+    the ordered-cascade observable behavior without per-member decoding."""
+
+    alternatives: Sequence[Sequence[Facet]] = ()
+
+
+@dataclass(frozen=True)
 class ColumnSpec:
     """One column's simple-type: facets applied in the reference's decode order
     (normalize → lexical patterns → value-space validators,
@@ -221,7 +262,10 @@ class Keyref:
     scope: Optional[str] = None
     selector: Optional[str] = None  # predicate selecting referencing rows
     refer_selector: Optional[str] = None  # predicate selecting key-bearing rows
-    broadcast_keys: bool = True  # broadcast the key side when it is small
+    # broadcast only when the key side is a genuinely small dimension: a
+    # document-scoped keyref has O(rows) keys and broadcasting it is the
+    # classic large-broadcast OOM at scale (and 3x slower even on one box)
+    broadcast_keys: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +342,31 @@ class Transition:
 
 
 @dataclass(frozen=True)
+class RowAssertion:
+    """Table-level row check: arbitrary SQL boolean over whole rows — the
+    ``extra_validator(elem, xsd_element)`` hook (validation.py:494-498, called
+    elements.py:840-849) for checks that cross columns."""
+
+    name: str
+    expr: str
+    reason: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class PandasCheck:
+    """Vectorized pandas extension check — the UDF escape hatch of §2.10.
+
+    ``fn(pdf: pandas.DataFrame) -> pandas.Series`` returns a reason string for
+    violating rows and None/NaN for passing rows.  Arrow-batched via
+    mapInPandas; keep it for logic Column expressions genuinely can't express
+    (the analogue of extra_validator yielding errors)."""
+
+    name: str
+    fn: object  # Callable[[pandas.DataFrame], pandas.Series]
+    columns: Sequence[str] = ()  # columns the fn needs (pruning hint)
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """The compiled-schema analogue of ``XsdGlobals`` for one table.
 
@@ -316,6 +385,8 @@ class TableSpec:
     columns: Sequence[ColumnSpec] = ()
     identities: Sequence[object] = ()  # Unique | Key | Keyref
     model: Sequence[object] = ()  # Occurs | Contiguity | Monotone | ...
+    row_assertions: Sequence[RowAssertion] = ()  # extra_validator analogues
+    pandas_checks: Sequence[PandasCheck] = ()  # vectorized UDF extension point
     mode: str = "lax"
 
     def __post_init__(self) -> None:

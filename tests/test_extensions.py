@@ -1,0 +1,107 @@
+"""List/union types, binary lexical facets, xs:error, and the extension hooks
+(row assertions + vectorized pandas checks) — SURVEY §2.7/§2.8/§2.10."""
+
+import datetime as dt
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.facets import lower_facet
+from sissaschool_xmlschema_spark.plans.runner import validate
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def check(spark, facet, values, dtype="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+    ok, _ = lower_facet(facet, "v")
+    return [r[0] for r in df.select(ok).collect()]
+
+
+def test_hex_and_base64(spark):
+    assert check(spark, S.HexBinary(), ["deadBEEF", "abc", "xy", None]) == [
+        True, False, False, True]
+    assert check(
+        spark, S.Base64Binary(), ["aGVsbG8=", "YQ==", "a===", "####", None]
+    ) == [True, True, False, False, True]
+
+
+def test_xsd_error_rejects_everything(spark):
+    assert check(spark, S.XsdError(), ["anything", "", None]) == [
+        False, False, True]
+
+
+def test_list_of(spark):
+    # xs:list of integers within bounds, 2..3 items (simple_types.py:990-1018)
+    facet = S.ListOf(
+        item_facets=(S.Pattern(("[0-9]+",)),), min_items=2, max_items=3
+    )
+    assert check(
+        spark, facet, ["1 2", "1 2 3", "1", "1 2 3 4", "1 x", None]
+    ) == [True, True, False, False, False, True]
+
+
+def test_union_of(spark):
+    # value is either a tool id or a boolean lexical (first-match semantics)
+    facet = S.UnionOf(
+        alternatives=(
+            (S.Pattern(("tool-[0-9]{3}",)),),
+            (S.BooleanLexical(),),
+        )
+    )
+    assert check(
+        spark, facet, ["tool-001", "true", "0", "tool-1", "maybe", None]
+    ) == [True, True, True, False, False, True]
+
+
+def test_row_assertion_cross_column(spark):
+    sp = S.TableSpec(
+        name="transcripts",
+        row_assertions=(
+            S.RowAssertion(
+                "tool-only-on-tool-turns",
+                "tool IS NULL OR role IN ('tool', 'assistant')",
+            ),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "x", "tool-001", TS),   # violates
+            ("c1", 1, "assistant", "y", "tool-002", TS),
+            ("c1", 2, "tool", "z", "tool-002", TS),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    assert [(r["constraint_id"], r["turn_idx"]) for r in v] == [
+        ("assert:tool-only-on-tool-turns", 0)
+    ]
+
+
+def test_pandas_check_hook(spark):
+    def no_shouting(pdf):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                "text is all uppercase" if t and t.isupper() else None
+                for t in pdf["text"]
+            ],
+            index=pdf.index,
+        )
+
+    sp = S.TableSpec(
+        name="transcripts",
+        pandas_checks=(S.PandasCheck("no-shouting", no_shouting, ("text",)),),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "HELLO THERE", None, TS),
+            ("c1", 1, "assistant", "calm reply", None, TS),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    assert [(r["constraint_id"], r["turn_idx"], r["reason"]) for r in v] == [
+        ("pandas:no-shouting", 0, "text is all uppercase")
+    ]
