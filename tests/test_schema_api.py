@@ -1,0 +1,119 @@
+"""SparkSchema facade, spec JSON round-trip, and the CLI (xmlschema API parity:
+XMLSchema(...).is_valid/validate/iter_errors/decode + console scripts)."""
+
+import datetime as dt
+import json
+import subprocess
+import sys
+
+import pytest
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.schema import SparkSchema
+from sissaschool_xmlschema_spark.spec import transcript_spec
+from sissaschool_xmlschema_spark.spec_io import (
+    load_spec,
+    save_spec,
+    spec_from_dict,
+    spec_to_dict,
+)
+
+TS = dt.datetime(2024, 1, 1)
+SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def test_spec_json_roundtrip(tmp_path):
+    sp = transcript_spec()
+    path = str(tmp_path / "spec.json")
+    save_spec(sp, path)
+    again = load_spec(path)
+    assert again == sp
+    # and the dict form is plain JSON
+    json.dumps(spec_to_dict(sp))
+
+
+def test_spec_roundtrip_with_new_facets():
+    sp = S.TableSpec(
+        name="t",
+        columns=(
+            S.ColumnSpec("a", (S.ListOf((S.Pattern(("[0-9]+",)),), " ", 1, 5),)),
+            S.ColumnSpec("b", (S.UnionOf(((S.BooleanLexical(),),
+                                          (S.HexBinary(),))),)),
+        ),
+        row_assertions=(S.RowAssertion("x", "a IS NOT NULL OR b IS NOT NULL"),),
+    )
+    assert spec_from_dict(spec_to_dict(sp)) == sp
+
+
+def test_spark_schema_facade(spark):
+    schema = SparkSchema(
+        S.TableSpec(
+            name="transcripts",
+            columns=(
+                S.ColumnSpec(
+                    "role",
+                    (S.Enumeration(("system", "user", "assistant", "tool")),),
+                ),
+            ),
+        )
+    )
+    good = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, TS)], SCHEMA_DDL
+    )
+    bad = spark.createDataFrame(
+        [("c1", 0, "alien", "hi", None, TS)], SCHEMA_DDL
+    )
+    assert schema.is_valid(good)
+    assert not schema.is_valid(bad)
+    assert schema.iter_errors(bad).count() == 1
+    from sissaschool_xmlschema_spark.plans.runner import (
+        SparkSchemaValidationError,
+    )
+
+    with pytest.raises(SparkSchemaValidationError):
+        schema.validate(bad)
+    schema.validate(good)  # no raise
+
+
+def test_schema_from_json_file(spark, tmp_path):
+    path = str(tmp_path / "spec.json")
+    save_spec(transcript_spec(), path)
+    schema = SparkSchema(path)
+    from sissaschool_xmlschema_spark.sources.transcripts import (
+        synthetic_transcripts,
+    )
+
+    assert schema.is_valid(synthetic_transcripts(spark, n_convs=5))
+
+
+def test_cli_validate(spark, tmp_path):
+    from sissaschool_xmlschema_spark.sources.transcripts import (
+        corrupt_transcripts,
+        synthetic_transcripts,
+    )
+
+    inp = str(tmp_path / "in.parquet")
+    corrupt_transcripts(synthetic_transcripts(spark, n_convs=10)).write.parquet(
+        inp
+    )
+    spec_path = str(tmp_path / "spec.json")
+    save_spec(transcript_spec(), spec_path)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "sissaschool_xmlschema_spark.cli",
+            "validate", "--spec", spec_path, "--input", inp,
+            "--output", str(tmp_path / "out"), "--exit-zero",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["violations"] > 0
+    viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert viol.count() == summary["violations"]
+    verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+    assert verd.count() == 10
