@@ -39,7 +39,8 @@ BENCH_CONVS = 400_000  # ~10.3M turns (1M-turn suites finish inside the
 # is >50% of the 32-core runtime and caps measurable speedup at ~2x; a
 # production job at 10^12 turns is asymptotically floor-free; the Amdahl
 # decomposition in BENCH/BASELINE.md quantifies the floor directly)
-SCALING_CONVS = 6_400_000  # ~160M turns
+SCALING_CONVS = 1_600_000  # ~40M turns: the representative point (fixed
+# floor <10%, DRAM bandwidth not yet saturated - see BENCH/BASELINE.md)
 SEED = 42
 
 

@@ -220,13 +220,18 @@ def occurs_violations(
     checks: Sequence[S.Occurs],
     table: str,
     scope: str,
+    salt: int = 0,
 ) -> DataFrame | None:
     """All min/maxOccurs bounds in one groupBy(scope) with conditional sums.
 
     particles.py:109-126 semantics: count of rows matching the particle predicate
-    per scope group, compared to [min_occurs, max_occurs].  Partial (map-side)
-    aggregation of the conditional sums is the built-in salted two-phase shape,
-    so a hot conv_id never ships its raw rows to one reducer.
+    per scope group, compared to [min_occurs, max_occurs].  Catalyst's partial
+    (map-side) aggregation already gives a two-phase shape; ``salt > 0``
+    additionally spreads each scope group over ``salt`` reducers explicitly
+    (groupBy(salt_key, scope) partials re-aggregated by scope) — the
+    north-rule key-salting lever for a pathologically hot conv_id whose
+    *reduce-side* partial row would otherwise pair with millions of map
+    partials on one reducer.  Results are bit-identical with or without salt.
     """
     occurs = [c for c in checks if isinstance(c, S.Occurs)]
     if not occurs:
@@ -235,7 +240,17 @@ def occurs_violations(
         F.sum(F.when(F.expr(c.where), 1).otherwise(0)).alias(f"_n_{i}")
         for i, c in enumerate(occurs)
     ]
-    counts = df.groupBy(scope).agg(*aggs)
+    if salt > 0:
+        salt_key = F.pmod(
+            F.xxhash64(F.col(scope), F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).alias("_salt")
+        partial = df.groupBy(salt_key, F.col(scope)).agg(*aggs)
+        counts = partial.groupBy(scope).agg(
+            *[F.sum(f"_n_{i}").alias(f"_n_{i}") for i in range(len(occurs))]
+        )
+    else:
+        counts = df.groupBy(scope).agg(*aggs)
 
     structs = []
     for i, c in enumerate(occurs):

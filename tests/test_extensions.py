@@ -105,3 +105,21 @@ def test_pandas_check_hook(spark):
     assert [(r["constraint_id"], r["turn_idx"], r["reason"]) for r in v] == [
         ("pandas:no-shouting", 0, "text is all uppercase")
     ]
+
+
+def test_salted_occurs_identical_results(spark):
+    from sissaschool_xmlschema_spark.operators.sequence import occurs_violations
+    from sissaschool_xmlschema_spark.sources.transcripts import (
+        synthetic_transcripts,
+    )
+
+    df = synthetic_transcripts(spark, n_convs=30, hot_convs=2, hot_turns=500)
+    checks = (
+        S.Occurs("min-user", where="role = 'user'", min_occurs=10_000),
+        S.Occurs("max-system", where="role = 'system'", max_occurs=0),
+    )
+    plain = occurs_violations(df, checks, "t", "conv_id").collect()
+    salted = occurs_violations(df, checks, "t", "conv_id", salt=8).collect()
+    key = lambda r: (r["conv_id"], r["constraint_id"], r["offending_value"])
+    assert sorted(map(key, plain)) == sorted(map(key, salted))
+    assert len(plain) > 0
