@@ -118,7 +118,7 @@ def ensure_bucketed_table(spark, convs: int) -> str:
     return name
 
 
-def run_suite(spark, table: str, timed_runs: int = 3,
+def run_suite(spark, table: str, timed_runs: int = 5,
               bucketed: bool = False) -> tuple[float, int, int, float]:
     """Full constraint suite over the bench table.
 
