@@ -413,6 +413,84 @@ def q_doc_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
 
 
+def q_json_props(spark, sf_dir):
+    """JSON path extraction over a semi-structured column (the engine's
+    structured-content decode; get_json_object is JVM-side)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_last_turn_user(spark, sf_dir):
+    """LastTurn model check (ModelVisitor.stop, models.py:243-246):
+    conversations whose final turn is a dangling user question."""
+    sp = events_transcript_spec()
+    model = (S.LastTurn("closed", where="role <> 'user'"),)
+    v = model_window_violations(
+        _t(spark, sf_dir), model, sp.name, sp.scope_col, sp.order_col,
+        tuple(sp.tiebreakers),
+    )
+    return v.select("conv_id", "turn_idx")
+
+
+def q_quantiles_lineitem(spark, sf_dir):
+    """Exact quantiles (oracle-checkable flavor of the t-digest stage)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    row = li.agg(
+        F.percentile(F.col("l_quantity"), F.lit(qs)).alias("q_qty"),
+        F.percentile(F.col("l_extendedprice"), F.lit(qs)).alias("q_price"),
+    )
+    cols = []
+    for i, q in enumerate(qs):
+        tag = str(int(q * 100))
+        cols.append(F.round(F.col("q_qty")[i], 6).alias(f"qty_p{tag}"))
+        cols.append(F.round(F.col("q_price")[i], 6).alias(f"price_p{tag}"))
+    return row.select(*cols)
+
+
+def q_ks_binned(spark, sf_dir):
+    """Binned KS — the bounded-cardinality scale path for continuous cols."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.agg(
+        F.min(F.unix_timestamp("ts").cast("double")).alias("lo"),
+        F.max(F.unix_timestamp("ts").cast("double")).alias("hi"),
+    ).first()
+    mid = (b["lo"] + b["hi"]) / 2.0
+    epoch = F.unix_timestamp("ts").cast("double")
+    cur = ev.filter(epoch >= mid)
+    base = ev.filter(epoch < mid)
+    ks = drift.ks_statistic_binned(cur, base, "value", n_buckets=1000)
+    return ks.select(F.round("ks", 6).alias("ks"))
+
+
+def q_stats_docs_by_source(spark, sf_dir):
+    """Per-source + global document stats via GROUPING SETS, one pass."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupingSets([["source"], []], F.col("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding cosine near-dup pairs (float threshold — rows-only)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return dedup.embedding_dup_pairs(emb, "vec_id", "v", threshold=0.5)
+
+
 def q_decode_failures(spark, sf_dir):
     """Typed decode with cast-failure side channel (schema.decode analogue,
     documents.py:275-299): distinct undecodable lexical forms + multiplicity."""
@@ -510,6 +588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        "json_props": q_json_props,
+        "last_turn_user": q_last_turn_user,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        "ks_binned": q_ks_binned,
+        "stats_docs_by_source": q_stats_docs_by_source,
+        "embedding_dups": q_embedding_dups,
         "decode_failures": q_decode_failures,
         "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,
@@ -904,6 +988,74 @@ FROM p GROUP BY lang, lang_pred
 
     sql["doc_fingerprints"] = """
 SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+    sql["json_props"] = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+    sql["last_turn_user"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE},
+wn AS (
+  SELECT conv_id, turn_idx, role, rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n_rows
+  FROM ord
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM wn WHERE rn = n_rows AND NOT (role <> 'user')
+"""
+
+    sql["quantiles_lineitem"] = """
+SELECT
+  ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+  ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75,
+  ROUND(quantile_cont(l_quantity, 0.95), 6) AS qty_p95,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+FROM lineitem
+"""
+
+    sql["ks_binned"] = """
+WITH b AS (
+  SELECT MIN(epoch(ts)) AS lo, MAX(epoch(ts)) AS hi FROM events
+),
+mid AS (SELECT (lo + hi) / 2.0 AS m FROM b),
+vb AS (
+  SELECT MIN(value) AS vlo, MAX(value) AS vhi FROM events, mid
+  WHERE epoch(ts) < m
+),
+bucketed AS (
+  SELECT
+    LEAST(GREATEST(CAST(FLOOR((value - vlo) / ((vhi - vlo) / 1000.0))
+      AS BIGINT), 0), 999) AS bucket,
+    COUNT(*) FILTER (epoch(ts) >= m) AS n_a,
+    COUNT(*) FILTER (epoch(ts) < m) AS n_b
+  FROM events, mid, vb
+  WHERE value IS NOT NULL
+  GROUP BY 1
+),
+cdf AS (
+  SELECT SUM(n_a) OVER (ORDER BY bucket) AS c_a,
+         SUM(n_b) OVER (ORDER BY bucket) AS c_b
+  FROM bucketed
+),
+tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM bucketed)
+SELECT ROUND(MAX(ABS(c_a / t_a - c_b / t_b)), 6) AS ks FROM cdf, tot
+"""
+
+    sql["stats_docs_by_source"] = """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY GROUPING SETS ((source), ())
 """
 
     sql["decode_failures"] = """
