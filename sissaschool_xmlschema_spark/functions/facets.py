@@ -175,6 +175,12 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
             "not a valid base64Binary lexical form"
         )
 
+    if isinstance(facet, S.NotInSet):
+        return _null_ok(c, ~c.isin(list(facet.values))), (
+            f"value must not be one of {list(facet.values)[:5]!r} "
+            "(wildcard denylist)"
+        )
+
     if isinstance(facet, S.XsdError):
         # xs:error rejects every present value (helpers.py:260-262)
         return c.isNull(), "the type xs:error admits no value"

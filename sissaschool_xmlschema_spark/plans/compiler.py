@@ -65,6 +65,11 @@ def compile_plan(spec: S.TableSpec) -> CompiledPlan:
             if facet.mode == "skip":
                 continue
             ok, reason = lower_facet(facet, col.name)
+            if getattr(col, "when", None):
+                # xsi:type-style conditional column: facets apply only where
+                # the discriminator predicate holds (elements.py:657-682)
+                ok = ~Fn.expr(col.when) | ok
+                reason = f"{reason} (where {col.when})"
             row_checks.append(
                 RowCheck(
                     constraint_id=facet_id(facet, col.name),

@@ -218,13 +218,29 @@ class UnionOf(Facet):
 
 
 @dataclass(frozen=True)
+class NotInSet(Facet):
+    """Wildcard denylist — the ##other / not_namespace side of XSD wildcards
+    (wildcards.py:33-164): a present value must NOT be one of ``values``.
+    The allowlist side is :class:`Enumeration`; process_contents='skip' is a
+    facet with mode='skip' (dropped at compile)."""
+
+    values: Sequence[str] = ()
+
+
+@dataclass(frozen=True)
 class ColumnSpec:
     """One column's simple-type: facets applied in the reference's decode order
     (normalize → lexical patterns → value-space validators,
-    simple_types.py:488-503)."""
+    simple_types.py:488-503).
+
+    ``when`` makes the whole column's facets conditional on a row predicate —
+    the flat-table analogue of xsi:type dynamic type resolution
+    (elements.py:657-682): the effective type of a value depends on other
+    columns of the row."""
 
     name: str
     facets: Sequence[Facet] = ()
+    when: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

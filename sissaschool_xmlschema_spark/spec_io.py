@@ -43,7 +43,7 @@ _FACETS = {
         S.TotalDigits, S.FractionDigits, S.WhiteSpace, S.ExplicitTimezone,
         S.BooleanLexical, S.Required, S.Prohibited, S.FixedValue,
         S.Assertion, S.HexBinary, S.Base64Binary, S.XsdError, S.ListOf,
-        S.UnionOf,
+        S.UnionOf, S.NotInSet,
     )
 }
 _IDENTITIES = {c.__name__: c for c in (S.Unique, S.Key, S.Keyref)}
@@ -97,7 +97,11 @@ def spec_to_dict(spec: S.TableSpec) -> dict:
         "tiebreakers": list(spec.tiebreakers),
         "mode": spec.mode,
         "columns": [
-            {"name": c.name, "facets": [_kinded(f) for f in c.facets]}
+            {
+                "name": c.name,
+                "facets": [_kinded(f) for f in c.facets],
+                **({"when": c.when} if c.when else {}),
+            }
             for c in spec.columns
         ],
         "identities": [_kinded(c) for c in spec.identities],
@@ -124,6 +128,7 @@ def spec_from_dict(d: Mapping[str, Any]) -> S.TableSpec:
             S.ColumnSpec(
                 c["name"],
                 tuple(_facet_from_dict(f) for f in c.get("facets", ())),
+                when=c.get("when"),
             )
             for c in d.get("columns", ())
         ),

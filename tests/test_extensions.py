@@ -123,3 +123,82 @@ def test_salted_occurs_identical_results(spark):
     key = lambda r: (r["conv_id"], r["constraint_id"], r["offending_value"])
     assert sorted(map(key, plain)) == sorted(map(key, salted))
     assert len(plain) > 0
+
+
+def test_not_in_set_wildcard_denylist(spark):
+    from sissaschool_xmlschema_spark.functions.facets import lower_facet
+
+    df = spark.createDataFrame(
+        [("ok",), ("forbidden",), (None,)], "v string"
+    )
+    ok, _ = lower_facet(S.NotInSet(("forbidden", "banned")), "v")
+    assert [r[0] for r in df.select(ok).collect()] == [True, False, True]
+
+
+def test_conditional_column_xsi_type(spark):
+    # tool-call turns must carry a numeric payload in text; other turns free
+    sp = S.TableSpec(
+        name="transcripts",
+        columns=(
+            S.ColumnSpec(
+                "text", (S.Pattern(("[0-9]+",)),), when="role = 'tool'"
+            ),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "tool", "12345", None, TS),
+            ("c1", 1, "tool", "words", None, TS),   # violates
+            ("c1", 2, "user", "words", None, TS),   # exempt
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    assert [(r["turn_idx"], r["constraint_id"]) for r in v] == [
+        (1, "facet:text:Pattern")
+    ]
+    assert "(where role = 'tool')" in v[0]["reason"]
+
+
+def test_conditional_column_spec_roundtrip():
+    from sissaschool_xmlschema_spark.spec_io import spec_from_dict, spec_to_dict
+
+    sp = S.TableSpec(
+        name="t",
+        columns=(
+            S.ColumnSpec("x", (S.NotInSet(("a",)),), when="role = 'tool'"),
+        ),
+    )
+    assert spec_from_dict(spec_to_dict(sp)) == sp
+
+
+def test_substitution_groups(spark):
+    from sissaschool_xmlschema_spark.operators.substitution import (
+        apply_substitutions,
+    )
+
+    sp = S.TableSpec(
+        name="transcripts",
+        columns=(
+            S.ColumnSpec(
+                "role", (S.Enumeration(("system", "user", "assistant", "tool")),)
+            ),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "human", "hi", None, TS),      # alias of user
+            ("c1", 1, "bot", "hello", None, TS),     # alias of assistant
+            ("c1", 2, "alien", "??", None, TS),      # no alias → still invalid
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    resolved = apply_substitutions(
+        df, "role", {"human": "user", "bot": "assistant"}
+    )
+    v = validate(resolved, sp).violations.collect()
+    assert [(r["turn_idx"], r["offending_value"]) for r in v] == [(2, "alien")]
+    # originals preserved for reporting
+    assert resolved.filter("role__orig = 'human'").count() == 1
