@@ -294,6 +294,54 @@ def q_tpch_keyref_customer(spark, sf_dir):
     return m.select("o_custkey", F.col("_n").alias("n"))
 
 
+def q_tpch_referential_audit(spark, sf_dir):
+    """Full star-schema referential-integrity audit: every FK relation as a
+    keyref anti-join, one (relation, n_missing_keys, n_orphan_rows) row each.
+    The cross-table keyref at warehouse scale (identities.py:403-418)."""
+    def misses(fact, fkey, dim, dkey, relation):
+        f = spark.read.parquet(f"{sf_dir}/{fact}.parquet")
+        d = spark.read.parquet(f"{sf_dir}/{dim}.parquet").withColumnRenamed(
+            dkey, fkey
+        )
+        c = S.Keyref(relation, fields=(fkey,), refer_fields=(fkey,),
+                     broadcast_keys=True)
+        m = keyref_misses(f, c, keys_df=d)
+        return m.agg(
+            F.lit(relation).alias("relation"),
+            F.count(F.lit(1)).alias("n_missing_keys"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_orphans"),
+        )
+    parts = [
+        misses("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem-orders"),
+        misses("lineitem", "l_partkey", "part", "p_partkey", "lineitem-part"),
+        misses("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem-supplier"),
+        misses("orders", "o_custkey", "customer", "c_custkey", "orders-customer"),
+        misses("customer", "c_nationkey", "nation", "n_nationkey", "customer-nation"),
+        misses("nation", "n_regionkey", "region", "r_regionkey", "nation-region"),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def q_verdicts_rollup(spark, sf_dir):
+    """Per-partition verdict rollup (validity aggregated per Iceberg-style
+    partition; bucket key derived portably from conv_id's last digit)."""
+    v = q_verdicts(spark, sf_dir)
+    bucket = F.pmod(F.substring("conv_id", -1, 1).cast("int"), F.lit(4))
+    return (
+        v.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum((F.col("validity") == "invalid").cast("long")).alias(
+                "n_invalid"
+            ),
+            F.sum("n_violations").cast("long").alias("n_violations"),
+        )
+    )
+
+
 def q_tpch_linenumber_contig(spark, sf_dir):
     """Occurrence/contiguity over lineitem: l_linenumber must be 1..n."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -579,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_by_role": q_stats_by_role,
         "drift_value": q_drift_value,
         "tpch_keyref_customer": q_tpch_keyref_customer,
+        "tpch_referential_audit": q_tpch_referential_audit,
+        "verdicts_rollup": q_verdicts_rollup,
         "tpch_linenumber_contig": q_tpch_linenumber_contig,
         "tpch_facets": q_tpch_facets,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -850,6 +900,74 @@ WHERE NOT EXISTS (
   WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0
 )
 GROUP BY o.o_custkey
+"""
+
+    audit_parts = []
+    for fact, fkey, dim, dkey, rel in (
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem-orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem-part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem-supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey", "orders-customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "customer-nation"),
+        ("nation", "n_regionkey", "region", "r_regionkey", "nation-region"),
+    ):
+        audit_parts.append(f"""
+SELECT '{rel}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_missing_keys,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orphans
+FROM (
+  SELECT f.{fkey}, COUNT(*) AS n FROM {fact} f
+  WHERE f.{fkey} IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM {dim} d WHERE d.{dkey} = f.{fkey})
+  GROUP BY f.{fkey}
+)""")
+    sql["tpch_referential_audit"] = " UNION ALL ".join(audit_parts)
+
+    sql["verdicts_rollup"] = f"""
+WITH t AS ({_CTE}), {_ORD_CTE},
+viol AS (
+  SELECT conv_id FROM t WHERE role NOT IN {_ROLE_ENUM}
+  UNION ALL
+  SELECT conv_id FROM t WHERE role = 'tool' AND tool IS NULL
+  UNION ALL
+  SELECT conv_id FROM t
+  WHERE tool IS NOT NULL AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+  UNION ALL
+  SELECT conv_id FROM t WHERE turn_idx IS NOT NULL AND turn_idx < 0
+  UNION ALL
+  SELECT conv_id FROM t WHERE text IS NOT NULL AND length(text) < 1
+  UNION ALL
+  SELECT conv_id FROM ord
+  WHERE (prev_idx IS NULL AND turn_idx <> 0)
+     OR (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)
+  UNION ALL
+  SELECT conv_id FROM ord WHERE prev_ts IS NOT NULL AND ts < prev_ts
+  UNION ALL
+  SELECT conv_id FROM ord WHERE rn = 1 AND role NOT IN ('system','user')
+  UNION ALL
+  SELECT conv_id FROM ord WHERE {_TRANSITION_BAD}
+  UNION ALL
+  SELECT conv_id FROM (
+    SELECT conv_id, turn_idx FROM t WHERE turn_idx IS NOT NULL
+    GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+  )
+  UNION ALL
+  SELECT conv_id FROM ({_KEYREF_MISS_GROUPS})
+  UNION ALL
+  SELECT conv_id FROM t GROUP BY conv_id
+  HAVING COUNT(*) FILTER (role = 'user') < 1
+),
+verd AS (
+  SELECT s.conv_id, CAST(COALESCE(v.n, 0) AS BIGINT) AS n_violations
+  FROM (SELECT DISTINCT conv_id FROM t) s
+  LEFT JOIN (SELECT conv_id, COUNT(*) AS n FROM viol GROUP BY conv_id) v
+    USING (conv_id)
+)
+SELECT CAST(substr(conv_id, -1, 1) AS INT) % 4 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) FILTER (n_violations > 0) AS BIGINT) AS n_invalid,
+       CAST(SUM(n_violations) AS BIGINT) AS n_violations
+FROM verd GROUP BY 1
 """
 
     sql["tpch_linenumber_contig"] = """

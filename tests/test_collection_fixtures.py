@@ -86,3 +86,38 @@ def test_f3_key_missing_field(spark):
     v = validate(objects, sp).violations.collect()
     assert len(v) == 1
     assert v[0]["constraint_id"] == "key:author_key:missing-field"
+
+
+def test_vehicles_2_errors(spark):
+    """Mirrors examples/vehicles/vehicles-2_errors.xml --errors=2: stray
+    character data inside element-only content — flat-table form: rows whose
+    kind is not a legal child of their parent container (conditional
+    enumeration via ColumnSpec.when, the xsi:type-style dispatch)."""
+    vehicles = spark.createDataFrame(
+        [
+            ("v1", 1, "cars", "car", "Porsche", "911"),
+            ("v1", 2, "cars", "chardata", None, None),    # error 1
+            ("v1", 3, "cars", "car", "Porsche", "911"),
+            ("v1", 4, "bikes", "bike", "Harley-Davidson", "WL"),
+            ("v1", 5, "bikes", "chardata", None, None),   # error 2
+            ("v1", 6, "bikes", "bike", "Yamaha", "XS650"),
+        ],
+        "doc string, pos int, parent string, kind string, make string, "
+        "model string",
+    )
+    sp = S.TableSpec(
+        name="vehicles",
+        scope_col="doc",
+        order_col="pos",
+        columns=(
+            S.ColumnSpec(
+                "kind", (S.Enumeration(("car",)),), when="parent = 'cars'"
+            ),
+            S.ColumnSpec(
+                "kind", (S.Enumeration(("bike",)),), when="parent = 'bikes'"
+            ),
+        ),
+    )
+    v = validate(vehicles, sp).violations.collect()
+    assert len(v) == 2  # --errors=2
+    assert sorted(r["offending_value"] for r in v) == ["chardata", "chardata"]

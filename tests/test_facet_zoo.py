@@ -132,3 +132,23 @@ def test_unsupported_constructs_fail_at_compile_time():
 
 def test_anchored_wrapper():
     assert translate_and_anchor("ab|cd") == "^(?:ab|cd)$"
+
+
+def test_compile_time_failures(spark):
+    """Bad specs fail on the driver at compile time, never on executors
+    (the reference's meta-schema check idea, xsd_globals.py:572)."""
+    from sissaschool_xmlschema_spark.plans.compiler import compile_plan
+
+    with pytest.raises(XsdRegexError):
+        compile_plan(
+            S.TableSpec(
+                name="t",
+                columns=(S.ColumnSpec("x", (S.Pattern(("a\\q",)),)),),
+            )
+        )
+    with pytest.raises(ValueError):
+        S.TableSpec(name="t", mode="bogus")
+    with pytest.raises(ValueError):
+        from sissaschool_xmlschema_spark.functions.facets import lower_facet
+
+        lower_facet(S.WhiteSpace("weird"), "x")
