@@ -207,6 +207,61 @@ def pandas_check_violations(
     return sub.mapInPandas(kernel, VIOLATION_SCHEMA)
 
 
+def group_check_violations(
+    df: DataFrame, check: "S.GroupPandasCheck", spec: S.TableSpec
+) -> DataFrame:
+    """Per-conversation assert via applyInPandas (assertions.py:36-147).
+
+    One shuffle on the scope key; each group arrives as a pandas frame sorted
+    by order_col.  Oversized groups are truncated to ``max_group_rows`` with a
+    dedicated guard violation instead of OOMing the executor.
+    """
+    need = {spec.scope_col, spec.order_col} | set(check.columns)
+    sub = df.select(*sorted(need))
+    cid = f"group:{check.name}"
+    scope, order = spec.scope_col, spec.order_col
+    fn, cap = check.fn, check.max_group_rows
+    path = f"{spec.name}/{check.name}"
+
+    def kernel(pdf):
+        import pandas as pd
+
+        rows = []
+        conv = str(pdf[scope].iloc[0])
+        if len(pdf) > cap:
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": None,
+                    "path": path,
+                    "constraint_id": cid + ":group-size-guard",
+                    "offending_value": str(len(pdf)),
+                    "reason": f"group exceeds max_group_rows={cap}",
+                }
+            )
+            pdf = pdf.iloc[:cap]
+        for reason in fn(pdf.sort_values(order)):
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": None,
+                    "path": path,
+                    "constraint_id": cid,
+                    "offending_value": None,
+                    "reason": str(reason),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "conv_id", "turn_idx", "path", "constraint_id",
+                "offending_value", "reason",
+            ],
+        )
+
+    return sub.groupBy(scope).applyInPandas(kernel, VIOLATION_SCHEMA)
+
+
 def _union(parts: List[Optional[DataFrame]]) -> Optional[DataFrame]:
     dfs = [d for d in parts if d is not None]
     if not dfs:
@@ -273,6 +328,8 @@ def validate(
             raise ValueError(f"unknown identity constraint {c!r}")
     for pc in getattr(spec, "pandas_checks", ()):
         parts.append(pandas_check_violations(df, pc, spec))
+    for gc in getattr(spec, "group_checks", ()):
+        parts.append(group_check_violations(df, gc, spec))
 
     violations = _union(parts)
     if violations is None:

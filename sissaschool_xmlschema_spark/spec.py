@@ -383,6 +383,23 @@ class PandasCheck:
 
 
 @dataclass(frozen=True)
+class GroupPandasCheck:
+    """Per-conversation (per-scope-group) custom check — the xs:assert on
+    complex types analogue (assertions.py:36-147): an arbitrary predicate over
+    the WHOLE conversation subtree, which no row-local expression can state.
+
+    ``fn(pdf: pandas.DataFrame) -> list[str]`` receives one conversation's
+    rows (sorted by order_col) and returns violation reason strings (empty =
+    valid).  Runs via ``applyInPandas`` over groupBy(scope) — the engine's only
+    per-group Python path; keep groups bounded (cap via MAX_GROUP_ROWS)."""
+
+    name: str
+    fn: object  # Callable[[pandas.DataFrame], list[str]]
+    columns: Sequence[str] = ()  # columns the fn needs (pruning hint)
+    max_group_rows: int = 1_000_000  # guard against pathological conversations
+
+
+@dataclass(frozen=True)
 class TableSpec:
     """The compiled-schema analogue of ``XsdGlobals`` for one table.
 
@@ -403,6 +420,7 @@ class TableSpec:
     model: Sequence[object] = ()  # Occurs | Contiguity | Monotone | ...
     row_assertions: Sequence[RowAssertion] = ()  # extra_validator analogues
     pandas_checks: Sequence[PandasCheck] = ()  # vectorized UDF extension point
+    group_checks: Sequence[GroupPandasCheck] = ()  # per-conversation asserts
     mode: str = "lax"
 
     def __post_init__(self) -> None:

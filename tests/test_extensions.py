@@ -202,3 +202,60 @@ def test_substitution_groups(spark):
     assert [(r["turn_idx"], r["offending_value"]) for r in v] == [(2, "alien")]
     # originals preserved for reporting
     assert resolved.filter("role__orig = 'human'").count() == 1
+
+
+def test_group_pandas_check_whole_conversation_assert(spark):
+    """xs:assert over the whole conversation subtree (assertions.py:36-147):
+    every tool call must be balanced by a later tool result."""
+
+    def balanced_tools(pdf):
+        calls = (pdf["role"] == "assistant") & pdf["tool"].notna()
+        results = pdf["role"] == "tool"
+        if calls.sum() != results.sum():
+            return [
+                f"unbalanced tool calls: {int(calls.sum())} calls, "
+                f"{int(results.sum())} results"
+            ]
+        return []
+
+    sp = S.TableSpec(
+        name="transcripts",
+        group_checks=(
+            S.GroupPandasCheck(
+                "balanced-tools", balanced_tools, ("role", "tool")
+            ),
+        ),
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "assistant", "x", "tool-001", TS),
+            ("c1", 1, "tool", "y", "tool-001", TS),
+            ("c2", 0, "assistant", "x", "tool-002", TS),  # no result → violate
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    assert [(r["conv_id"], r["constraint_id"]) for r in v] == [
+        ("c2", "group:balanced-tools")
+    ]
+    assert "1 calls, 0 results" in v[0]["reason"]
+
+
+def test_group_check_size_guard(spark):
+    sp = S.TableSpec(
+        name="transcripts",
+        group_checks=(
+            S.GroupPandasCheck(
+                "noop", lambda pdf: [], ("role",), max_group_rows=2
+            ),
+        ),
+    )
+    df = spark.createDataFrame(
+        [("c1", i, "user", "t", None, TS) for i in range(5)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    assert len(v) == 1
+    assert v[0]["constraint_id"] == "group:noop:group-size-guard"
