@@ -144,6 +144,11 @@ class ValidationResult:
 
         Left join of all scopes against the distinct violating scopes; a scope
         with any violation is 'invalid', else 'valid'.
+
+        Scope-less (document-wide) violations carry a NULL conv_id and are by
+        design NOT attributed to any scope here — they still fail
+        :meth:`is_valid` and appear in :meth:`by_constraint`; use the
+        violations frame directly for table-level verdicts.
         """
         scopes = self.source.select(
             F.col(self.spec.scope_col).cast("string").alias("conv_id")
