@@ -77,15 +77,26 @@ def row_local_violations(df: DataFrame, plan: CompiledPlan) -> Optional[DataFram
     """
     if not plan.row_checks:
         return None
-    if len(plan.row_checks) > 63:
-        raise ValueError("more than 63 row checks; split the spec")
     spec = plan.spec
 
-    mask = F.lit(0).cast("long")
-    for i, chk in enumerate(plan.row_checks):
-        mask = mask + F.when(
-            ~chk.ok, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
+    # one 63-bit mask column per chunk of checks (a LONG holds 63 usable bits;
+    # wider specs just get a second mask in the same projection)
+    chunks = [
+        plan.row_checks[i: i + 63]
+        for i in range(0, len(plan.row_checks), 63)
+    ]
+    masks = []
+    for ci, chunk in enumerate(chunks):
+        mask = F.lit(0).cast("long")
+        for i, chk in enumerate(chunk):
+            mask = mask + F.when(
+                ~chk.ok, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        masks.append(mask.alias(f"_m{ci}"))
+
+    any_flag = F.col("_m0") > 0
+    for ci in range(1, len(chunks)):
+        any_flag = any_flag | (F.col(f"_m{ci}") > 0)
 
     value_cols = sorted(
         {chk.value_col for chk in plan.row_checks if chk.value_col}
@@ -93,13 +104,13 @@ def row_local_violations(df: DataFrame, plan: CompiledPlan) -> Optional[DataFram
     flagged = df.select(
         F.col(spec.scope_col).cast("string").alias("conv_id"),
         F.col(spec.order_col).try_cast("long").alias("turn_idx"),
-        mask.alias("_m"),
+        *masks,
         *[F.col(c).alias(f"_val_{c}") for c in value_cols],
-    ).filter(F.col("_m") > 0)
+    ).filter(any_flag)
 
     structs = [
         F.when(
-            F.shiftright(F.col("_m"), i).bitwiseAND(F.lit(1)) == 1,
+            F.shiftright(F.col(f"_m{ci}"), i).bitwiseAND(F.lit(1)) == 1,
             F.struct(
                 F.lit(chk.path).alias("path"),
                 F.lit(chk.constraint_id).alias("constraint_id"),
@@ -111,7 +122,8 @@ def row_local_violations(df: DataFrame, plan: CompiledPlan) -> Optional[DataFram
                 F.lit(chk.reason).alias("reason"),
             ),
         )
-        for i, chk in enumerate(plan.row_checks)
+        for ci, chunk in enumerate(chunks)
+        for i, chk in enumerate(chunk)
     ]
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
     return (
@@ -302,7 +314,39 @@ def validate(
     spec = plan.spec
     mode = mode or spec.mode
 
+    guard_violations = None
+    cap = getattr(spec, "max_scope_rows", None)
+    window_input = df
+    if cap:
+        # MAX_XML_ELEMENTS-style guard (limits.py:58-67): oversized scope
+        # groups are excluded from the ordered window pass (one sort task per
+        # group) and reported; counts come from one groupBy that the bucketed
+        # layout runs shuffle-free
+        sizes = df.groupBy(spec.scope_col).agg(
+            F.count(F.lit(1)).alias("_n_rows")
+        )
+        oversized = sizes.filter(F.col("_n_rows") > cap)
+        guard_violations = oversized.select(
+            F.col(spec.scope_col).cast("string").alias("conv_id"),
+            F.lit(None).cast("long").alias("turn_idx"),
+            F.lit(spec.name).alias("path"),
+            F.lit("limit:max-scope-rows").alias("constraint_id"),
+            F.col("_n_rows").cast("string").alias("offending_value"),
+            F.lit(
+                f"scope group exceeds max_scope_rows={cap}; ordered model "
+                "checks skipped for this group"
+            ).alias("reason"),
+        )
+        keep = oversized.select(F.col(spec.scope_col).alias("_big_scope"))
+        window_input = df.join(
+            F.broadcast(keep),
+            df[spec.scope_col] == F.col("_big_scope"),
+            "left_anti",
+        )
+
     parts: List[Optional[DataFrame]] = [row_local_violations(df, plan)]
+    if guard_violations is not None:
+        parts.append(guard_violations)
     has_window = any(
         not isinstance(c, S.Occurs) for c in plan.model
     ) and bool(plan.model)
@@ -311,8 +355,8 @@ def validate(
         # occurs bounds ride the window pass's exchange — no extra shuffle
         parts.append(
             model_window_violations(
-                df, plan.model, spec.name, spec.scope_col, spec.order_col,
-                tuple(spec.tiebreakers), fuse_occurs=True,
+                window_input, plan.model, spec.name, spec.scope_col,
+                spec.order_col, tuple(spec.tiebreakers), fuse_occurs=True,
             )
         )
     elif has_occurs:

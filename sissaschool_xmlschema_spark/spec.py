@@ -421,6 +421,11 @@ class TableSpec:
     row_assertions: Sequence[RowAssertion] = ()  # extra_validator analogues
     pandas_checks: Sequence[PandasCheck] = ()  # vectorized UDF extension point
     group_checks: Sequence[GroupPandasCheck] = ()  # per-conversation asserts
+    # resource guard (MAX_XML_ELEMENTS analogue, reference limits.py:58-67):
+    # scope groups larger than this are excluded from the ordered window pass
+    # (a single 10^8-turn conversation would serialize one sort task) and
+    # reported with a limit: violation instead. None = unlimited.
+    max_scope_rows: Optional[int] = None
     mode: str = "lax"
 
     def __post_init__(self) -> None:

@@ -259,3 +259,43 @@ def test_group_check_size_guard(spark):
     v = validate(df, sp).violations.collect()
     assert len(v) == 1
     assert v[0]["constraint_id"] == "group:noop:group-size-guard"
+
+
+def test_max_scope_rows_guard(spark):
+    sp = S.TableSpec(
+        name="transcripts",
+        model=(S.Contiguity(),),
+        max_scope_rows=3,
+    )
+    rows = [("big", i, "user", "t", None, TS) for i in range(5)] + [
+        ("ok", 0, "user", "t", None, TS),
+        ("ok", 2, "user", "t", None, TS),  # contiguity break in small conv
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations.collect()
+    by_cid = {(r["conv_id"], r["constraint_id"]) for r in v}
+    # the big conv gets the guard violation, NOT per-row window checks
+    assert ("big", "limit:max-scope-rows") in by_cid
+    assert ("big", "model:turn-contiguity") not in by_cid
+    # the small conv is still window-checked
+    assert ("ok", "model:turn-contiguity") in by_cid
+
+
+def test_row_checks_beyond_63_chunked(spark):
+    cols = tuple(
+        S.ColumnSpec("text", (S.MinLength(i + 1),)) for i in range(70)
+    )
+    sp = S.TableSpec(name="transcripts", columns=cols)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "x" * 65, None, TS),
+         ("c1", 1, "user", "x" * 80, None, TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    v = validate(df, sp).violations
+    # row 0 (len 65) violates MinLength 66..70 → 5; row 1 none
+    assert v.count() == 5
