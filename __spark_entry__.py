@@ -401,6 +401,15 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_verified(spark, sf_dir):
+    """Production near-dup flow: LSH candidates verified by exact Jaccard on
+    candidate pairs only (portable md5 flavor for the oracle)."""
+    return dedup.verified_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold_num=1, threshold_den=2, k=8, bands=4, portable=True,
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine scores of every embedding vs the vec_id=0 vector."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -639,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_verified": q_dedup_verified,
         "ann_cosine": q_ann_cosine,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -1050,11 +1060,40 @@ WITH toks AS (
     string_split_regex(text, '\\s+')), t -> t <> '')) AS token
   FROM documents
 ),
-sigs AS (SELECT id, {minh} FROM toks GROUP BY id),
-buckets AS ({band_keys})
+sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7 FROM toks GROUP BY id),
+buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h2 || '|' || h3) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h6 || '|' || h7) AS bkey FROM sigs)
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+"""
+
+    sql["dedup_verified"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '')) AS token
+  FROM documents
+),
+sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7 FROM toks GROUP BY id),
+buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h2 || '|' || h3) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h6 || '|' || h7) AS bkey FROM sigs),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+tl AS (
+  SELECT doc_id AS id, list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT c.id_a, c.id_b,
+  CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+  CAST(len(ta.toks) AS BIGINT) AS n_a,
+  CAST(len(tb.toks) AS BIGINT) AS n_b
+FROM cands c
+JOIN tl ta ON ta.id = c.id_a
+JOIN tl tb ON tb.id = c.id_b
+WHERE (2 + 1) * len(list_intersect(ta.toks, tb.toks))
+      >= 1 * (len(ta.toks) + len(tb.toks))
 """
 
     sql["ann_cosine"] = """

@@ -383,3 +383,51 @@ def embedding_dup_pairs(
     return joined.select("id_a", "id_b", cos.alias("cos")).filter(
         F.col("cos") >= threshold
     )
+
+
+def verified_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    k: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """The production near-dup flow: MinHash-LSH candidates, then exact
+    Jaccard verification on candidate pairs ONLY.
+
+    ``token_jaccard_pairs`` self-joins on tokens — O(df²) rows per hot token.
+    This pipeline bounds the expensive step to LSH survivors: candidate pairs
+    join each side's (distinct) token array and verify with
+    ``array_intersect`` — per-pair work, JVM-side, no explode.  Thresholding
+    stays exact integer arithmetic.  This is the shape that survives 100 TB:
+    the only all-pairs structure is within LSH buckets.
+    """
+    cands = minhash_dup_pairs(df, id_col, text_col, k, bands, portable, seed)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    n_a, n_b = F.size("t_a"), F.size("t_b")
+    tn, td = threshold_num, threshold_den
+    return (
+        joined.select(
+            "id_a", "id_b",
+            inter.alias("inter"),
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .filter(
+            (F.lit(td + tn) * F.col("inter"))
+            >= (F.lit(tn) * (F.col("n_a") + F.col("n_b")))
+        )
+    )

@@ -127,3 +127,21 @@ def test_lsh_topk_contains_query_itself(spark):
     # every returned row's bucket equals the query's bucket by construction;
     # scores are true cosines (no approximation in the scoring)
     assert all(r["cos"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_verified_pipeline_subset_of_exact_jaccard(spark, docs):
+    """LSH-then-verify returns exactly the exact-Jaccard pairs that survived
+    candidate generation — verification never admits a false positive."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_dup_pairs(docs, "doc_id", "text", 3, 4).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.verified_dup_pairs(
+            docs, "doc_id", "text", 3, 4, k=8, bands=4
+        ).collect()
+    }
+    assert verified <= exact
+    # identical-token-set docs always collide in LSH and pass verification
+    assert (1, 3) in verified and (1, 5) in verified
