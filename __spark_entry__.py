@@ -1045,15 +1045,8 @@ JOIN sizes sb ON sb.id = p.id_b
 WHERE (2 + 1) * p.inter >= 1 * (sa.n_tok + sb.n_tok)
 """
 
-    # portable md5 minhash: same seed strings, lexicographic min over hex
-    minh = ", ".join(
-        f"MIN(md5('42:{i}:' || token)) AS h{i}" for i in range(8)
-    )
-    band_keys = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS bkey "
-        f"FROM sigs"
-        for b in range(4)
-    )
+    # portable md5 minhash: same seed strings as the Spark side,
+    # lexicographic min over the hex form (identical in any engine)
     sql["dedup_minhash"] = f"""
 WITH toks AS (
   SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
