@@ -15,6 +15,7 @@ for passing rows, ``reason`` a human-readable message patterned on
 from __future__ import annotations
 
 import math
+import re
 from typing import Tuple
 
 from pyspark.sql import Column
@@ -186,7 +187,9 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         return c.isNull(), "the type xs:error admits no value"
 
     if isinstance(facet, S.ListOf):
-        items = F.split(c, facet.separator)
+        # separator is a literal string, not a regex — escape it so '.'/'|'
+        # separators split literally (F.split interprets its arg as a regex)
+        items = F.split(c, re.escape(facet.separator))
         pred = F.lit(True)
         if facet.min_items is not None:
             pred = pred & (F.size(items) >= facet.min_items)
@@ -210,7 +213,10 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         for alt in facet.alternatives:
             alt_ok = F.lit(True)
             for alt_facet in alt:
-                ok_a, _ = lower_facet(alt_facet, column)
+                # lower against the *current* expression c (not F.col(column))
+                # so a UnionOf used as a ListOf item facet validates the item
+                # lambda variable, not the whole column
+                ok_a, _ = _lower(alt_facet, c, column)
                 alt_ok = alt_ok & ok_a
             any_ok = any_ok | alt_ok
         return _null_ok(c, any_ok), (
@@ -219,8 +225,16 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         )
 
     if isinstance(facet, S.Assertion):
-        # assertion facet with $value (facets.py:826-884): 'value' names the column.
-        expr = facet.expr.replace("$value", column).replace("value", column)
+        # assertion facet with $value (facets.py:826-884): the standalone token
+        # `$value` / `value` names the column being asserted on.  Word-boundary
+        # substitution that skips single-quoted SQL string literals — a blind
+        # substring replace would corrupt identifiers like `values`/`value_x`
+        # and literals like 'value'.
+        expr = re.sub(
+            r"'[^']*'|\$?\bvalue\b",
+            lambda m: m.group(0) if m.group(0).startswith("'") else column,
+            facet.expr,
+        )
         return _null_ok(c, F.expr(expr)), f"assertion test {facet.expr!r} failed"
 
     raise ValueError(f"unknown facet {facet!r}")

@@ -24,8 +24,8 @@ STOPWORDS = (
 )
 
 # Marker-token tables for the n-gram/stopword language-ID heuristic. Ordered:
-# first language whose marker count strictly exceeds all later ones wins;
-# ties fall through to 'und'.
+# the argmax wins, and ties between languages go to the EARLIEST declared
+# language; 'und' only when no marker hits at all.
 LANG_MARKERS: Dict[str, Sequence[str]] = {
     "en": ("the", "and", "of", "to", "is", "you", "that", "it"),
     "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
@@ -108,11 +108,11 @@ def lang_marker_counts(text: Column) -> Dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """Argmax language by marker count; 'und' when no markers hit or tied.
+    """Argmax language by marker count; 'und' only when no marker hits.
 
-    Deterministic argmax: languages are compared in LANG_MARKERS order, a
-    language wins only with a strictly greater count than every *later* one and
-    ≥ every earlier one — expressible as a fixed when-cascade.
+    Deterministic argmax: ties go to the earliest language in LANG_MARKERS
+    declaration order (the when-cascade places earlier languages outermost) —
+    the same tie-break any SQL CASE reimplementation uses.
     """
     counts = lang_marker_counts(text)
     langs = list(counts)

@@ -53,7 +53,11 @@ def _stat_aggs(
                 q = F.percentile(F.col(c), F.lit(qs))
             else:
                 q = F.percentile_approx(F.col(c), F.lit(qs), F.lit(10000))
-            aggs.append(q.alias(f"{c}_quantiles"))
+            # flattened to one scalar column per quantile (p50, p95, ...):
+            # downstream sinks and canonicalizers expect hashable scalars,
+            # not array cells
+            for i, qv in enumerate(qs):
+                aggs.append(q[i].alias(f"{c}_p{int(round(qv * 100))}"))
     for c in string_cols:
         aggs.append(F.min(F.length(c)).alias(f"{c}_minlen"))
         aggs.append(F.max(F.length(c)).alias(f"{c}_maxlen"))

@@ -83,6 +83,43 @@ def test_fixed_and_assertion(spark):
     ) == [True, False, True]
 
 
+def test_assertion_value_token_is_word_bounded(spark):
+    """Regression: only the standalone `$value`/`value` token is rewritten —
+    identifiers containing 'value' and the string literal 'value' survive
+    (reference binds $value as a real XPath variable, facets.py:826-884)."""
+    df = spark.createDataFrame(
+        [(2, 10, "value"), (3, 10, "other")],
+        "v int, value_x int, tag string",
+    )
+    # `values`-like identifier: value_x must NOT be rewritten to v
+    ok, _ = lower_facet(S.Assertion("$value * 5 = value_x"), "v")
+    assert [r[0] for r in df.select(ok.alias("ok")).collect()] == [True, False]
+    # a quoted 'value' literal must survive intact
+    ok2, _ = lower_facet(S.Assertion("value >= 0 AND tag = 'value'"), "v")
+    assert [r[0] for r in df.select(ok2.alias("ok")).collect()] == [True, False]
+
+
+def test_listof_regex_separator_and_union_item_context(spark):
+    """ADVICE regressions: a '.'-separator splits literally, and a UnionOf
+    nested as a ListOf item facet validates each ITEM, not the whole column."""
+    sep = check(
+        spark,
+        S.ListOf(item_facets=(S.MaxLength(1),), separator="."),
+        ["a.b.c", "ab.c"],
+    )
+    assert sep == [True, False]
+    union_items = check(
+        spark,
+        S.ListOf(
+            item_facets=(
+                S.UnionOf(alternatives=((S.Length(1),), (S.Length(3),))),
+            ),
+        ),
+        ["a bcd", "a bc"],
+    )
+    assert union_items == [True, False]
+
+
 def test_required_prohibited_conditional(spark):
     df = spark.createDataFrame(
         [("tool", "t1"), ("tool", None), ("user", None)],

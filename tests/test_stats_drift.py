@@ -18,7 +18,7 @@ def test_column_stats_exact(spark):
     assert row["s_nulls"] == 1
     assert row["s_distinct"] == 2
     assert row["x_min"] == 1 and row["x_max"] == 2
-    assert row["x_quantiles"] == [2.0]
+    assert row["x_p50"] == 2.0  # quantiles flatten to scalar columns
     assert row["s_minlen"] == 1 and row["s_maxlen"] == 1
 
 
