@@ -579,9 +579,18 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))
 
 
-# non-SQL-expressible (rows-only check): production hash flavors
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 — JVM-only, no oracle)."""
+    """SimHash near-dup pairs — portable md5 bit-string flavor (oracle-checkable);
+    chunk count derived from max_hamming (pigeonhole recall contract)."""
+    return dedup.portable_simhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+# non-SQL-expressible (rows-only check): production hash flavors
+def q_simhash_fast(spark, sf_dir):
+    """SimHash with xxhash64 signatures (production flavor, no oracle);
+    max_hamming=8 now gets the 9 chunks its recall guarantee needs."""
     return dedup.simhash_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=8
     )
@@ -662,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_failures": q_decode_failures,
         "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_fast": q_simhash_fast,
         "minhash_fast": q_minhash_fast,
         "stats_approx": q_stats_approx,
         "lsh_topk": q_lsh_topk,
@@ -1087,6 +1097,50 @@ JOIN tl ta ON ta.id = c.id_a
 JOIN tl tb ON tb.id = c.id_b
 WHERE (2 + 1) * len(list_intersect(ta.toks, tb.toks))
       >= 1 * (len(ta.toks) + len(tb.toks))
+"""
+
+    # portable md5 bit-string simhash: 64 conditional sums -> '0'/'1' string,
+    # 4 chunk bands (max_hamming=3), per-pair hamming = differing bit chars —
+    # every step byte-identical in DuckDB (generated, like the minhash sigs)
+    _sh_sums = ", ".join(
+        f"SUM(CASE WHEN substr(hex, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f" AS b{b}"
+        for b in range(64)
+    )
+    _sh_sig = ", ".join(
+        f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(64)
+    )
+    _sh_chunks = " UNION ALL ".join(
+        f"SELECT id, sig, {c} AS chunk, substr(sig, {c * 16 + 1}, 16) AS ckey "
+        "FROM sigs"
+        for c in range(4)
+    )
+    _sh_ham = " + ".join(
+        f"(CASE WHEN substr(sig_a, {b + 1}, 1) <> substr(sig_b, {b + 1}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for b in range(64)
+    )
+    sql["simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(list_filter(
+    string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+hx AS (
+  SELECT id, md5('42:a:' || token) || md5('42:b:' || token) AS hex FROM toks
+),
+sums AS (SELECT id, {_sh_sums} FROM hx GROUP BY id),
+sigs AS (SELECT id, concat({_sh_sig}) AS sig FROM sums),
+chunks AS ({_sh_chunks}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+),
+ham AS (SELECT id_a, id_b, {_sh_ham} AS hamming FROM cand)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 3
 """
 
     sql["ann_cosine"] = """

@@ -14,8 +14,10 @@ north-star "training-data pipeline" extensions, built Spark-first:
   ``portable=True`` uses md5 hex strings (bit-identical in DuckDB → oracle-able);
   ``portable=False`` uses xxhash64 (JVM-native, ~3× faster) for production.
 * **SimHash** — 64-bit signature via per-bit weighted majority in one groupBy
-  with 64 conditional sums; near-dups via 4×16-bit band equi-join (Hamming ≤ 3
-  by pigeonhole needs ≥1 equal band).
+  with 64 conditional sums; near-dups via a chunk equi-join with the chunk
+  count DERIVED from max_hamming (pigeonhole: Hamming ≤ k pairs share a chunk
+  only with ≥ k+1 chunks — fewer chunks than that raises).  A portable md5
+  bit-string flavor exists for cross-engine oracle checks.
 * **embedding near-dup** — brute-force all-pairs cosine within small groups, or
   LSH-bucketed via random hyperplanes for scale (see similarity.py).
 
@@ -288,20 +290,47 @@ def simhash_signatures(
     return sums.select("id", sig.alias("simhash"))
 
 
+def _chunk_slices(bits: int, n_chunks: int) -> list:
+    """Split ``bits`` into ``n_chunks`` contiguous (offset, width) slices,
+    distributing the remainder over the leading chunks."""
+    base, rem = divmod(bits, n_chunks)
+    out, pos = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        out.append((pos, w))
+        pos += w
+    return out
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     seed: int = 42,
+    n_chunks: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` with Hamming ≤ max_hamming.
 
-    Candidate generation: split the 64-bit signature into 4 16-bit chunks; by
-    pigeonhole any pair within Hamming ≤ 3 shares at least one exact chunk, so
-    candidates come from a chunk equi-join, then the true Hamming distance
-    (bit_count of XOR) filters.
+    Candidate generation: split the 64-bit signature into ``n_chunks``
+    contiguous chunks — by pigeonhole, any pair within Hamming ≤ n_chunks − 1
+    shares at least one exact chunk, so candidates come from a chunk
+    equi-join, then the true Hamming distance (bit_count of XOR) filters.
+
+    ``n_chunks`` defaults to ``max_hamming + 1`` (the minimum that makes the
+    recall guarantee hold); passing fewer chunks than that raises — a caller
+    must never silently get a pair set weaker than its parameters advertise.
     """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; pigeonhole needs >= max_hamming+1 "
+            "chunks"
+        )
+    if n_chunks > 64:
+        raise ValueError("n_chunks cannot exceed the 64 signature bits")
     sigs = simhash_signatures(df, id_col, text_col, 64, seed)
     chunks = sigs.select(
         "id",
@@ -310,12 +339,12 @@ def simhash_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.lit(ci).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("ckey"),
                     )
-                    for c in range(4)
+                    for ci, (off, w) in enumerate(_chunk_slices(64, n_chunks))
                 ]
             )
         ).alias("c"),
@@ -329,6 +358,104 @@ def simhash_dup_pairs(
         "chunk", "ckey",
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def portable_simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, sig)`` — SimHash as a 64-char '0'/'1' *bit string* built from md5.
+
+    Oracle-portable flavor: per-token bit b is the high bit of the b-th hex
+    digit of md5, i.e. ``substr(hex, b+1, 1) >= '8'`` — an expression any SQL
+    engine reproduces byte-for-byte (two md5 calls give the 64 digits).  The
+    xxhash64/long flavor (:func:`simhash_signatures`) stays the production
+    path; this one exists so the pair set is hash-checkable cross-engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    ).select(
+        "id",
+        F.concat(
+            F.md5(F.concat(F.lit(f"{seed}:a:"), F.col("token"))),
+            F.md5(F.concat(F.lit(f"{seed}:b:"), F.col("token"))),
+        ).alias("hex"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("hex"), b + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(64)
+        ]
+    )
+    return sums.select("id", sig.alias("sig"))
+
+
+def portable_simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_chunks: Optional[int] = None,
+) -> DataFrame:
+    """Portable (md5 bit-string) SimHash near-dup pairs, same banding contract
+    as :func:`simhash_dup_pairs`; Hamming = count of differing bit chars."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}"
+        )
+    sigs = portable_simhash_signatures(df, id_col, text_col, seed)
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.substring(F.col("sig"), off + 1, w).alias("ckey"),
+                    )
+                    for ci, (off, w) in enumerate(_chunk_slices(64, n_chunks))
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk", "c.ckey")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "ckey"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "ckey"
+    )
+    ham = sum(
+        F.when(
+            F.substring(F.col("sig_a"), bb + 1, 1)
+            != F.substring(F.col("sig_b"), bb + 1, 1),
+            1,
+        ).otherwise(0)
+        for bb in range(64)
+    ).cast("long")
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -94,6 +94,73 @@ def test_simhash_long_docs_small_edit(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_recall_contract_vs_bruteforce(spark):
+    """The banding must find EVERY pair within max_hamming (pigeonhole with
+    n_chunks = max_hamming+1 chunks) — verified against an all-pairs brute
+    force on the collected signatures."""
+    base = [f"tok{i}" for i in range(120)]
+    rows = []
+    for d in range(24):
+        toks = list(base)
+        for j in range(d):  # d edited tokens → a gradient of distances
+            toks[j * 5 % 120] = f"ed{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = {r["id"]: r["simhash"] for r in
+            dedup.simhash_signatures(df, "doc_id", "text").collect()}
+    max_h = 5
+    expected = {
+        (a, b)
+        for a in sigs for b in sigs if a < b
+        and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dup_pairs(
+            df, "doc_id", "text", max_hamming=max_h
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one close pair"
+    assert got == expected  # exact recall, not a subset
+
+
+def test_simhash_rejects_insufficient_chunks(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=8, n_chunks=4
+        )
+    with pytest.raises(ValueError):
+        dedup.portable_simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=8, n_chunks=4
+        )
+
+
+def test_portable_simhash_matches_python_md5(spark, docs):
+    """The portable bit-string signature is reproducible outside Spark —
+    recompute one document's signature with hashlib and compare."""
+    import hashlib
+
+    sigs = {r["id"]: r["sig"] for r in
+            dedup.portable_simhash_signatures(docs, "doc_id", "text").collect()}
+    text = DOCS[3][1]
+    sums = [0] * 64
+    for tok in text.split():
+        hx = (hashlib.md5(f"42:a:{tok}".encode()).hexdigest()
+              + hashlib.md5(f"42:b:{tok}".encode()).hexdigest())
+        for b in range(64):
+            sums[b] += 1 if hx[b] >= "8" else -1
+    expect = "".join("1" if s > 0 else "0" for s in sums)
+    assert sigs[4] == expect
+    assert sigs[1] == sigs[5]  # identical text → identical signature
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.portable_simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert (1, 5) in pairs
+
+
 def test_embedding_dup_pairs(spark):
     df = spark.createDataFrame(
         [
