@@ -264,10 +264,12 @@ def q_drift_value(spark, sf_dir):
         F.max(F.unix_timestamp("ts").cast("double")).alias("hi"),
     ).first()
     mid = (b["lo"] + b["hi"]) / 2.0
-    # single-scan variant: both snapshots live in one table, split by time
+    # single-scan variant: both snapshots live in one table, split by time;
+    # KS rides the binned path (1000 buckets) — the distinct-value cumulative
+    # window is the documented scale-hostile shape on continuous columns
     rep = drift.tagged_drift_report(
         ev, "value", f"CAST(unix_timestamp(ts) AS DOUBLE) >= {mid!r}",
-        n_buckets=10,
+        n_buckets=10, ks_bins=1000,
     )
     return rep.select(
         "column",
@@ -387,10 +389,16 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs ≥ 0.5, integer-threshold arithmetic."""
+    """Token-set Jaccard near-dup pairs ≥ 0.5, integer-threshold arithmetic.
+
+    ``max_doc_freq`` is the skew guard the token self-join NEEDS at scale: a
+    stopword shared by 10^6 docs creates 10^12 join rows without it.  The
+    oracle applies the identical document-frequency cut, so Jaccard here is
+    over the non-hot token sets on both sides.
+    """
     return dedup.jaccard_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        threshold_num=1, threshold_den=2,
+        threshold_num=1, threshold_den=2, max_doc_freq=256,
     )
 
 
@@ -544,13 +552,25 @@ def q_stats_docs_by_source(spark, sf_dir):
     )
 
 
-def q_embedding_dups(spark, sf_dir):
-    """Embedding cosine near-dup pairs (float threshold — rows-only)."""
+def _emb_double(spark, sf_dir):
+    """Embeddings as double vectors, zero-norm rows dropped (both engines)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    return dedup.embedding_dup_pairs(emb, "vec_id", "v", threshold=0.5)
+    return emb.filter(similarity.dot(F.col("v"), F.col("v")) > 0)
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Embedding cosine near-dup pairs through hyperplane-LSH buckets — the
+    scale path (all-pairs only WITHIN a bucket, never a global crossJoin),
+    with portable md5-derived planes so DuckDB reproduces the buckets."""
+    planes = similarity.portable_planes(4, 64)
+    p = dedup.bucketed_embedding_dup_pairs(
+        _emb_double(spark, sf_dir), "vec_id", "v",
+        threshold=0.5, n_planes=4, dim=64, planes=planes,
+    )
+    return p.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def q_decode_failures(spark, sf_dir):
@@ -613,11 +633,17 @@ def q_stats_approx(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-k (rows-only check)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter("vec_id = 0").first()["embedding"]
-    return similarity.lsh_topk(
-        emb, "vec_id", "embedding", [float(x) for x in q], k=10, n_planes=4
+    """Hyperplane-LSH bucketed approximate top-k, portable planes — the
+    query scans only its own bucket; buckets + cosines oracle-checkable."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter("vec_id = 0").first()["v"]
+    planes = similarity.portable_planes(4, 64)
+    r = similarity.lsh_topk(
+        emb, "vec_id", "v", [float(x) for x in q], k=10, n_planes=4,
+        planes=planes,
+    )
+    return r.select(
+        F.col("id").alias("vec_id"), F.round("cos", 6).alias("cos")
     )
 
 
@@ -895,20 +921,22 @@ psi_v AS (
     * LN((n_cur / t_cur + 1e-6) / (n_base / t_base + 1e-6))
   ) AS psi FROM hist, tot
 ),
-vals AS (
-  SELECT value AS v,
+kb AS (
+  SELECT
+    LEAST(GREATEST(CAST(FLOOR((value - vlo) / ((vhi - vlo) / 1000.0))
+      AS BIGINT), 0), 999) AS bucket,
     COUNT(*) FILTER (epoch(ts) >= m) AS n_a,
     COUNT(*) FILTER (epoch(ts) < m) AS n_b
-  FROM events, mid WHERE value IS NOT NULL GROUP BY value
+  FROM events, mid, vb WHERE value IS NOT NULL GROUP BY 1
 ),
 cdf AS (
   SELECT
-    SUM(n_a) OVER (ORDER BY v) AS c_a,
-    SUM(n_b) OVER (ORDER BY v) AS c_b
-  FROM vals
+    SUM(n_a) OVER (ORDER BY bucket) AS c_a,
+    SUM(n_b) OVER (ORDER BY bucket) AS c_b
+  FROM kb
 ),
 tot2 AS (
-  SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM vals
+  SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM kb
 ),
 ks_v AS (
   SELECT MAX(ABS(c_a / t_a - c_b / t_b)) AS ks FROM cdf, tot2
@@ -1036,10 +1064,14 @@ FROM fp GROUP BY fp HAVING COUNT(*) > 1
 """
 
     sql["dedup_jaccard"] = """
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
     string_split_regex(text, '\\s+')), t -> t <> '')) AS token
   FROM documents
+),
+hot AS (SELECT token FROM toks0 GROUP BY token HAVING COUNT(*) > 256),
+toks AS (
+  SELECT * FROM toks0 WHERE token NOT IN (SELECT token FROM hot)
 ),
 sizes AS (SELECT id, COUNT(*) AS n_tok FROM toks GROUP BY id),
 pairs AS (
@@ -1155,6 +1187,52 @@ SELECT vec_id,
        * sqrt(list_dot_product(qv, qv))), 6) AS cos
 FROM e, q
 WHERE list_dot_product(embedding, embedding) > 0
+"""
+
+    # hyperplane-LSH buckets with md5-derived ±1 planes (portable_planes):
+    # the SAME literal arrays the Spark plan embeds, so bucket assignments and
+    # the within-bucket cosines are bit-identical cross-engine
+    _planes = similarity.portable_planes(4, 64)
+
+    def _plane_lit(p):
+        return "[" + ", ".join(f"{v:.1f}" for v in p) + "]"
+
+    _emb_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(_planes[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    _emb_cte = f"""
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+b AS (SELECT vec_id, v, {_emb_bucket} AS bucket FROM e)
+"""
+
+    sql["embedding_dups"] = f"""
+WITH {_emb_cte},
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v))
+            * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.5
+"""
+
+    sql["lsh_topk"] = f"""
+WITH {_emb_cte},
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, ROUND(cos, 6) AS cos FROM (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv)
+         / (sqrt(list_dot_product(b.v, b.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM b, q WHERE b.bucket = q.qb
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
     sql["text_metrics"] = """

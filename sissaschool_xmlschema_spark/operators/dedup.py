@@ -512,6 +512,33 @@ def embedding_dup_pairs(
     )
 
 
+def bucketed_embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    planes: Optional[list] = None,
+) -> DataFrame:
+    """The scale path for embedding near-dup: random-hyperplane LSH bucket as
+    the join key, so the only all-pairs structure is WITHIN buckets
+    (~n/2^n_planes rows each) — never a global crossJoin.  Recall is the LSH
+    collision probability (raise it by lowering n_planes or multiprobing);
+    pass ``planes`` from ``similarity.portable_planes`` for an
+    oracle-reproducible bucket assignment.
+    """
+    from sissaschool_xmlschema_spark.operators.similarity import bucket_expr
+
+    src = df.withColumn(
+        "_bucket", bucket_expr(vec_col, n_planes, dim, seed, planes)
+    )
+    return embedding_dup_pairs(
+        src, id_col, vec_col, threshold, group_col="_bucket"
+    )
+
+
 def verified_dup_pairs(
     df: DataFrame,
     id_col: str,

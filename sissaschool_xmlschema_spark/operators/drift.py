@@ -145,12 +145,19 @@ def drift_report(
     n_buckets: int = 10,
     lo: Optional[float] = None,
     hi: Optional[float] = None,
+    ks_bins: Optional[int] = 10_000,
 ) -> DataFrame:
     """One-row ``(column, psi, ks)`` report for a column pair of snapshots.
 
     When no fixed bounds are given, both histograms share the *baseline's*
     min/max (a 1-row collect) — two independently-bounded histograms would be
     incomparable.
+
+    KS defaults to the BINNED path (``ks_bins`` fine-grained buckets): the
+    exact KS runs an ordered window over all distinct values — a
+    single-partition sort that is the documented scale-hostile shape on
+    continuous columns at 10^12 rows.  Pass ``ks_bins=None`` for the exact
+    statistic on low-cardinality columns.
     """
     if lo is None or hi is None:
         row = baseline.agg(
@@ -161,7 +168,10 @@ def drift_report(
     cur_h = bucketize(current, col, n_buckets, lo, hi)
     base_h = bucketize(baseline, col, n_buckets, lo, hi)
     p = psi(cur_h, base_h, n_buckets)
-    k = ks_statistic(current, baseline, col)
+    if ks_bins:
+        k = ks_statistic_binned(current, baseline, col, ks_bins, lo, hi)
+    else:
+        k = ks_statistic(current, baseline, col)
     return (
         p.crossJoin(k)
         .select(F.lit(col).alias("column"), "psi", "ks")
@@ -176,6 +186,7 @@ def tagged_drift_report(
     lo: Optional[float] = None,
     hi: Optional[float] = None,
     eps: float = 1e-6,
+    ks_bins: Optional[int] = 10_000,
 ) -> DataFrame:
     """PSI + KS when both snapshots live in ONE table (e.g. split by a time
     predicate): a single scan with conditional counts replaces two scans and a
@@ -183,6 +194,11 @@ def tagged_drift_report(
 
     ``current_when`` is a SQL boolean; rows where it holds are "current", the
     rest are the baseline.  Bounds default to the baseline side's min/max.
+
+    KS is BINNED by default (``ks_bins`` buckets over the same bounds): the
+    distinct-value cumulative window would be a single-partition sort over
+    |distinct(col)| rows — the scale-hostile path on continuous columns.
+    ``ks_bins=None`` restores the exact statistic (bounded-cardinality cols).
     """
     side = F.expr(current_when)
     v = _as_double(df, col)
@@ -214,12 +230,26 @@ def tagged_drift_report(
     q = F.col("n_base") / F.col("t_base") + F.lit(eps)
     psi_df = j.agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
 
-    # KS over distinct values — one groupBy with conditional counts, then the
-    # ordered cumulative window over |distinct values| rows
-    vals = src.groupBy("v").agg(
-        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("n_b"),
-    )
+    # KS: one groupBy with conditional counts, then the ordered cumulative
+    # window — over ks_bins buckets (scale path) or distinct values (exact)
+    if ks_bins:
+        kwidth = (float(hi) - float(lo)) / float(ks_bins)
+        kbucket = F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.lit(float(lo))) / F.lit(kwidth)),
+                F.lit(0),
+            ),
+            F.lit(ks_bins - 1),
+        )
+        vals = src.groupBy(kbucket.cast("int").alias("v")).agg(
+            F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("n_b"),
+        )
+    else:
+        vals = src.groupBy("v").agg(
+            F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("n_b"),
+        )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     t2 = vals.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
     cdf = vals.select(

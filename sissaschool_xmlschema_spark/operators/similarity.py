@@ -72,6 +72,62 @@ def cosine_topk(
     return scores.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
 
 
+def portable_planes(n_planes: int, dim: int, seed: int = 42) -> list:
+    """±1 hyperplane component lists derived from md5 — deterministic AND
+    engine-portable: the Spark plan and any SQL oracle embed the *same*
+    literal arrays, so bucket assignments are bit-identical cross-engine.
+    Component (p, j) = +1 iff the first hex digit of md5('{seed}:{p}:{j}')
+    has its high bit set."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def bucket_expr(
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    planes: list | None = None,
+) -> Column:
+    """Sign-pattern LSH bucket id in [0, 2^n_planes) as a Column expression.
+
+    With ``planes`` (e.g. from :func:`portable_planes`) the ±1 components are
+    plan literals shared with an oracle; otherwise they are recomputed on
+    executors from xxhash64(seed, p, j) — nothing is shipped either way.
+    sign(v·h_p) gives bit p; cosine-similar vectors collide with probability
+    1 − θ/π per plane (Charikar 2002).
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        if planes is not None:
+            comps = F.array(*[F.lit(float(v)) for v in planes[p]])
+        else:
+            comps = F.array(
+                *[
+                    F.when(
+                        F.xxhash64(F.lit(seed), F.lit(p), F.lit(j))
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                    for j in range(dim)
+                ]
+            )
+        proj = dot(F.col(vec_col), comps)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -79,33 +135,16 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    planes: list | None = None,
 ) -> DataFrame:
-    """``(id, bucket)`` — sign-pattern LSH bucket id in [0, 2^n_planes).
-
-    Hyperplane h_p component j = a deterministic pseudo-random ±1 derived from
-    xxhash64(seed, p, j) — executors recompute it from literals, nothing is
-    shipped.  sign(v·h_p) gives bit p.  Cosine-similar vectors collide with
-    probability 1 − θ/π per plane (Charikar 2002), so near neighbours land in
-    the same bucket with high probability and a probe scans ~n/2^n_planes rows.
-    """
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        # ±1 component pattern for plane p as a literal array
-        comps = F.array(
-            *[
-                F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), F.lit(j))
-                    .bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for j in range(dim)
-            ]
-        )
-        proj = dot(F.col(vec_col), comps)
-        bucket = bucket + F.when(
-            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
-        ).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    """``(id, bucket)`` — see :func:`bucket_expr`.  At 100 TB the bucket
+    column becomes the table's partition/bucketing key so a probe prunes to
+    matching files; near neighbours land together and a probe scans
+    ~n/2^n_planes rows."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        bucket_expr(vec_col, n_planes, dim, seed, planes).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -116,6 +155,7 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    planes: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only rows in the query's hyperplane bucket.
 
@@ -124,8 +164,9 @@ def lsh_topk(
     pruning-friendly.
     """
     dim = len(query)
-    qb = query_bucket(df.sparkSession, query, n_planes, seed)
-    buckets = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed)
+    qb = query_bucket(df.sparkSession, query, n_planes, seed, planes)
+    buckets = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed,
+                                 planes)
     candidates = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .join(buckets, F.col("_id") == F.col("id"))
@@ -137,12 +178,13 @@ def lsh_topk(
 
 
 def query_bucket(spark, query: Sequence[float], n_planes: int = 8,
-                 seed: int = 42) -> int:
+                 seed: int = 42, planes: list | None = None) -> int:
     """Bucket of the query vector, computed with the *identical* Spark
     expression on a local 1-row DataFrame - guaranteed to match executors
     (no driver-side reimplementation of xxhash64)."""
     one = spark.createDataFrame(
         [(0, [float(v) for v in query])], "id long, vec array<double>"
     )
-    row = hyperplane_buckets(one, "id", "vec", n_planes, len(query), seed)
+    row = hyperplane_buckets(one, "id", "vec", n_planes, len(query), seed,
+                             planes)
     return row.first()["bucket"]

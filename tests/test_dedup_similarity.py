@@ -174,6 +174,38 @@ def test_embedding_dup_pairs(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_bucketed_embedding_dups_subset_of_bruteforce(spark):
+    """Bucketed pairs are a subset of the brute-force pairs (LSH candidates
+    only), and same-vector pairs always collide (identical sign pattern)."""
+    from sissaschool_xmlschema_spark.operators.similarity import portable_planes
+
+    rows = [(i, [float((i * 7) % 13) - 6.0, float((i * 3) % 11) - 5.0,
+                 1.0, -2.0]) for i in range(40)]
+    rows.append((99, rows[0][1]))  # exact duplicate of vector 0
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(df, "id", "v", 0.99).collect()
+    }
+    planes = portable_planes(3, 4)
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.bucketed_embedding_dup_pairs(
+            df, "id", "v", 0.99, n_planes=3, dim=4, planes=planes
+        ).collect()
+    }
+    assert bucketed <= brute
+    assert (0, 99) in bucketed  # identical vectors share every bucket bit
+
+
+def test_portable_planes_deterministic():
+    from sissaschool_xmlschema_spark.operators.similarity import portable_planes
+
+    a, b = portable_planes(4, 8), portable_planes(4, 8)
+    assert a == b and all(v in (1.0, -1.0) for row in a for v in row)
+    assert portable_planes(4, 8, seed=7) != a
+
+
 def test_cosine_topk_exact(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(50)], "id int, v array<double>"
