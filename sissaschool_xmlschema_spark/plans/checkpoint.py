@@ -125,36 +125,41 @@ def run_checkpointed(
     manifest.spec_hash = sh
     manifest.input_lineage = input_lineage
 
+    # keep RAW partition values (a str() round-trip would turn a NULL key
+    # into the string 'None' and the equality filter would silently match
+    # nothing — rows with a NULL partition value were never validated);
+    # manifest/file-system keys get a distinguished '__null__' spelling
     keyed = df.withColumn("_part", F.expr(partition_expr))
-    parts = [
-        str(r["_part"]) for r in
-        keyed.select("_part").distinct().orderBy("_part").collect()
-    ]
+    parts = [r["_part"] for r in keyed.select("_part").distinct().collect()]
+    parts.sort(key=lambda v: (v is None, str(v)))
 
     results: List[PartitionResult] = []
     for part in parts:
-        if resume and manifest.done(part):
-            m = manifest.partitions[part]
+        part_key = "__null__" if part is None else str(part)
+        if resume and manifest.done(part_key):
+            m = manifest.partitions[part_key]
             results.append(
-                PartitionResult(part, m["n_rows"], m["n_violations"],
+                PartitionResult(part_key, m["n_rows"], m["n_violations"],
                                 m["wall_s"], skipped=True)
             )
             continue
         t0 = time.perf_counter()
-        pdf = keyed.filter(F.col("_part") == part).drop("_part")
+        pdf = keyed.filter(
+            F.col("_part").eqNullSafe(F.lit(part))
+        ).drop("_part")
         res = validate(pdf, spec)
+        # persist → count once → write from cache (no re-read of our own
+        # output, no second suite execution)
+        viol = res.violations.persist()
+        n_viol = viol.count()
         if out_dir:
-            res.violations.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"part={part}")
+            viol.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"part={part_key}")
             )
-            n_viol = df.sparkSession.read.parquet(
-                os.path.join(out_dir, f"part={part}")
-            ).count()
-        else:
-            n_viol = res.violations.count()
         n_rows = pdf.count()
+        viol.unpersist()
         wall = time.perf_counter() - t0
-        manifest.partitions[part] = {
+        manifest.partitions[part_key] = {
             "status": "done",
             "n_rows": n_rows,
             "n_violations": n_viol,
@@ -163,5 +168,5 @@ def run_checkpointed(
             "spec_hash": sh,
         }
         manifest.save()
-        results.append(PartitionResult(part, n_rows, n_viol, wall))
+        results.append(PartitionResult(part_key, n_rows, n_viol, wall))
     return results

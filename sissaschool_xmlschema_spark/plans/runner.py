@@ -352,13 +352,22 @@ def validate(
     ) and bool(plan.model)
     has_occurs = any(isinstance(c, S.Occurs) for c in plan.model)
     if has_window:
-        # occurs bounds ride the window pass's exchange — no extra shuffle
+        # occurs bounds ride the window pass's exchange — no extra shuffle.
+        # EXCEPT when the scope-size guard is active: the window pass excludes
+        # oversized groups, but occurrence bounds are a groupBy-style check
+        # and must still run over the FULL input (only ordered checks are
+        # legitimately skipped for capped groups).
         parts.append(
             model_window_violations(
                 window_input, plan.model, spec.name, spec.scope_col,
-                spec.order_col, tuple(spec.tiebreakers), fuse_occurs=True,
+                spec.order_col, tuple(spec.tiebreakers),
+                fuse_occurs=not cap,
             )
         )
+        if cap and has_occurs:
+            parts.append(
+                occurs_violations(df, plan.model, spec.name, spec.scope_col)
+            )
     elif has_occurs:
         parts.append(
             occurs_violations(df, plan.model, spec.name, spec.scope_col)

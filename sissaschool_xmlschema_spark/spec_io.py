@@ -109,6 +109,7 @@ def spec_to_dict(spec: S.TableSpec) -> dict:
         "row_assertions": [
             dataclasses.asdict(a) for a in spec.row_assertions
         ],
+        "max_scope_rows": spec.max_scope_rows,
     }
 
 
@@ -149,6 +150,7 @@ def spec_from_dict(d: Mapping[str, Any]) -> S.TableSpec:
         row_assertions=tuple(
             S.RowAssertion(**a) for a in d.get("row_assertions", ())
         ),
+        max_scope_rows=d.get("max_scope_rows"),
     )
 
 

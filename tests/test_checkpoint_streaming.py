@@ -65,6 +65,35 @@ def test_checkpoint_run_and_resume(spark, tmp_path):
     assert sum(p.n_violations for p in r3) == total_viols
 
 
+def test_checkpoint_null_partition_key_is_validated(spark, tmp_path):
+    """Regression (ADVICE): rows whose partition expression is NULL must be
+    validated under a distinguished '__null__' partition, not silently
+    skipped by a str-vs-NULL equality filter."""
+    rows = [
+        ("c1", 0, "alien", "t", None, TS),      # violation, NULL partition
+        ("c2", 0, "user", "t", None, TS),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    ck = str(tmp_path / "cknull")
+    res = run_checkpointed(
+        df, small_spec(),
+        "CASE WHEN conv_id = 'c1' THEN NULL ELSE conv_id END", ck,
+    )
+    by_part = {p.partition: (p.n_rows, p.n_violations) for p in res}
+    assert by_part["__null__"] == (1, 1)  # the NULL-keyed row WAS validated
+    assert by_part["c2"] == (1, 0)
+    # and resume skips it like any other partition
+    res2 = run_checkpointed(
+        df, small_spec(),
+        "CASE WHEN conv_id = 'c1' THEN NULL ELSE conv_id END", ck,
+    )
+    assert all(p.skipped for p in res2)
+
+
 def test_spec_change_invalidates_checkpoint(spark, tmp_path):
     df = synthetic_transcripts(spark, n_convs=10)
     ck = str(tmp_path / "ck")

@@ -285,6 +285,35 @@ def test_max_scope_rows_guard(spark):
     assert ("ok", "model:turn-contiguity") in by_cid
 
 
+def test_max_scope_rows_guard_still_checks_occurs(spark):
+    """Regression (ADVICE): occurrence bounds are a groupBy check, not an
+    ordered one — a capped group must STILL get its Occurs violations."""
+    sp = S.TableSpec(
+        name="transcripts",
+        model=(
+            S.Contiguity(),
+            S.Occurs("min-one-user", where="role = 'user'", min_occurs=1),
+        ),
+        max_scope_rows=3,
+    )
+    # the big conv has NO user turn → occurs violation despite being capped
+    rows = [("big", i, "assistant", "t", None, TS) for i in range(5)] + [
+        ("ok", 0, "user", "t", None, TS),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    by_cid = {
+        (r["conv_id"], r["constraint_id"])
+        for r in validate(df, sp).violations.collect()
+    }
+    assert ("big", "limit:max-scope-rows") in by_cid
+    assert ("big", "occurs:min-one-user") in by_cid  # previously silently lost
+    assert ("big", "model:turn-contiguity") not in by_cid  # ordered: skipped
+
+
 def test_row_checks_beyond_63_chunked(spark):
     cols = tuple(
         S.ColumnSpec("text", (S.MinLength(i + 1),)) for i in range(70)

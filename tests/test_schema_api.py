@@ -48,6 +48,35 @@ def test_spec_roundtrip_with_new_facets():
     assert spec_from_dict(spec_to_dict(sp)) == sp
 
 
+def test_spec_roundtrip_every_serializable_field():
+    """Regression (ADVICE): every data-bearing TableSpec field must survive
+    the JSON round-trip — max_scope_rows was silently dropped before."""
+    sp = S.TableSpec(
+        name="full",
+        scope_col="s",
+        order_col="o",
+        tiebreakers=("t1", "t2"),
+        columns=(S.ColumnSpec("a", (S.MinLength(1),), when="o > 0"),),
+        identities=(
+            S.Key("k", fields=("a",), scope="s"),
+            S.Keyref("r", fields=("a",), refer_fields=("a",), scope="s",
+                     selector="o > 0", refer_selector="o = 0",
+                     broadcast_keys=True),
+        ),
+        model=(S.Contiguity(), S.Occurs("occ", where="a IS NOT NULL",
+                                        min_occurs=1, max_occurs=3)),
+        row_assertions=(S.RowAssertion("ra", "a IS NOT NULL", reason="r"),),
+        max_scope_rows=123_456,
+        mode="lax",
+    )
+    again = spec_from_dict(spec_to_dict(sp))
+    assert again == sp
+    assert again.max_scope_rows == 123_456
+    # fn-bearing checks are code, not data — intentionally unserialized
+    for field in ("pandas_checks", "group_checks"):
+        assert getattr(again, field) == ()
+
+
 def test_spark_schema_facade(spark):
     schema = SparkSchema(
         S.TableSpec(
