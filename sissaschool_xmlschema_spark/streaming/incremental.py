@@ -11,7 +11,17 @@ schemas.py:1391-1405).  The Spark lowering:
 * **identity constraints** need cross-batch state: each micro-batch's partial
   key counts merge into a persistent key-count store (parquet), exactly the
   ``counter.update(counter.counter)`` merge; duplicates are whatever exceeds 1
-  after the merge.  End-of-stream keyref checks replay schemas.py:1391-1405.
+  after the merge.  Keyrefs accumulate per-batch referencing-tuple counts and
+  key-tuple sets the same way; :meth:`IncrementalResult.keyref_misses` runs
+  the end-of-stream anti-join — the ``_validate_references`` epilogue
+  (schemas.py:1391-1405: still-enabled keyrefs + unresolved IDREFs at
+  document end), so a reference seen in batch 1 whose key arrives in batch 5
+  resolves, and one that never resolves is reported.
+* **idempotent sinks**: foreachBatch is at-least-once — every per-batch
+  write lands under a ``batch=<id>`` subdirectory with overwrite semantics,
+  so a micro-batch retry or crash-restart rewrites its own directory instead
+  of appending duplicate rows/counts (the standard idempotent-foreachBatch
+  pattern).
 * **order/contiguity checks** across batches use a custom stateful operator
   (``applyInPandasWithState``): per-conversation state = last seen turn_idx —
   the streaming-only pandas path the SURVEY allows (§2.10).
@@ -59,22 +69,62 @@ class IncrementalResult:
     n_batches: int
     violations_path: str
     keystate_path: str
+    refstate_path: str = ""
 
     def violations(self, spark: SparkSession) -> DataFrame:
         if not os.path.exists(self.violations_path):
             return spark.createDataFrame([], VIOLATION_SCHEMA)
-        return spark.read.parquet(self.violations_path)
+        # drop the batch=<id> partition column the idempotent layout adds
+        return spark.read.parquet(self.violations_path).drop("batch")
 
     def duplicate_keys(self, spark: SparkSession, c: S.Unique) -> DataFrame:
         """Cross-batch duplicates after the counter merge
         (schemas.py:1386-1389 analogue)."""
-        st = spark.read.parquet(self.keystate_path)
+        st = spark.read.parquet(os.path.join(self.keystate_path, c.name))
         keys = ([c.scope] if c.scope else []) + list(c.fields)
         return (
             st.groupBy(*keys)
             .agg(F.sum("_n").alias("_n"))
             .filter(F.col("_n") > 1)
         )
+
+    def keyref_misses(self, spark: SparkSession, c: S.Keyref) -> DataFrame:
+        """End-of-stream referential epilogue — ``_validate_references``
+        (schemas.py:1391-1405): anti-join the accumulated referencing-tuple
+        counts against the accumulated key-tuple set.  Returns
+        ``(scope?, *fields, _n)`` like the batch ``keyref_misses`` operator;
+        a reference whose key arrived in ANY batch resolves, one that never
+        resolved is a miss with its total multiplicity."""
+        group_keys = ([c.scope] if c.scope else []) + list(c.fields)
+        refs_path = os.path.join(self.refstate_path, c.name, "refs")
+        keys_path = os.path.join(self.refstate_path, c.name, "keys")
+        if not os.path.exists(refs_path):
+            # no referencing rows ever arrived → nothing can be missing
+            schema = ", ".join(f"`{k}` string" for k in group_keys)
+            return spark.createDataFrame([], schema + ", `_n` long")
+        refs = (
+            spark.read.parquet(refs_path)
+            .groupBy(*group_keys)
+            .agg(F.sum("_n").alias("_n"))
+        )
+        if os.path.exists(keys_path):
+            key_cols = ([c.scope] if c.scope else []) + list(c.refer_fields)
+            keys = (
+                spark.read.parquet(keys_path)
+                .select(
+                    *[
+                        F.col(k).alias(f"_k_{i}")
+                        for i, k in enumerate(key_cols)
+                    ]
+                )
+                .dropDuplicates()
+            )
+            cond = None
+            for i, r in enumerate(group_keys):
+                e = F.col(r) == F.col(f"_k_{i}")
+                cond = e if cond is None else cond & e
+            refs = refs.join(keys, cond, "left_anti")
+        return refs
 
 
 def run_incremental(
@@ -87,14 +137,18 @@ def run_incremental(
 ) -> IncrementalResult:
     """Validate a growing file directory incrementally with availableNow.
 
-    Per micro-batch: facet violations append to the violation sink; per-batch
-    partial key counts (map-side shrunk) append to the key-state store.  The
+    Per micro-batch: facet violations, per-constraint partial key counts
+    (map-side shrunk), and per-keyref referencing-counts + key-tuple sets
+    each land under ``<sink>/<name>/batch=<batch_id>`` with OVERWRITE
+    semantics — foreachBatch is at-least-once, so a retried batch rewrites
+    its own directory instead of double-counting (idempotent sink).  The
     stream checkpoint makes re-runs resume from unprocessed files only — the
     engine's lazy-iteration memory bound: state grows with *distinct keys*,
     never with rows.
     """
     violations_path = os.path.join(work_dir, "violations")
     keystate_path = os.path.join(work_dir, "keystate")
+    refstate_path = os.path.join(work_dir, "refstate")
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
 
     if schema is None:
@@ -107,21 +161,47 @@ def run_incremental(
 
     plan = compile_plan(spec)
     uniques = [c for c in spec.identities if isinstance(c, S.Unique)]
+    keyrefs = [c for c in spec.identities if isinstance(c, S.Keyref)]
     n_batches = 0
 
     def process(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
+        bdir = f"batch={batch_id}"
         v = row_local_violations(batch, plan)
         if v is not None:
-            v.write.mode("append").parquet(violations_path)
+            v.write.mode("overwrite").parquet(
+                os.path.join(violations_path, bdir)
+            )
         for c in uniques:
             keys = ([c.scope] if c.scope else []) + list(c.fields)
             sel = batch.filter(F.expr(c.selector)) if c.selector else batch
             for fcol in c.fields:
                 sel = sel.filter(F.col(fcol).isNotNull())
             counts = sel.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-            counts.write.mode("append").parquet(keystate_path)
+            counts.write.mode("overwrite").parquet(
+                os.path.join(keystate_path, c.name, bdir)
+            )
+        for c in keyrefs:
+            # referencing side: partial counts per tuple (counter merge)
+            refs = batch.filter(F.expr(c.selector)) if c.selector else batch
+            for fcol in c.fields:
+                refs = refs.filter(F.col(fcol).isNotNull())
+            rkeys = ([c.scope] if c.scope else []) + list(c.fields)
+            refs.groupBy(*rkeys).agg(
+                F.count(F.lit(1)).alias("_n")
+            ).write.mode("overwrite").parquet(
+                os.path.join(refstate_path, c.name, "refs", bdir)
+            )
+            # key side: the distinct key-tuple set this batch contributes
+            ks = (
+                batch.filter(F.expr(c.refer_selector))
+                if c.refer_selector else batch
+            )
+            kcols = ([c.scope] if c.scope else []) + list(c.refer_fields)
+            ks.select(*kcols).dropDuplicates().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(refstate_path, c.name, "keys", bdir))
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -130,7 +210,9 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
-    return IncrementalResult(n_batches, violations_path, keystate_path)
+    return IncrementalResult(
+        n_batches, violations_path, keystate_path, refstate_path
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,64 @@ def test_incremental_cross_batch_duplicates(spark, tmp_path):
     assert res2.n_batches == 0
 
 
+def keyref_spec():
+    return S.TableSpec(
+        name="transcripts",
+        identities=(
+            S.Keyref(
+                "tool-ref",
+                fields=("tool",),
+                refer_fields=("tool",),
+                scope="conv_id",
+                selector="role = 'tool'",
+                refer_selector="role = 'assistant' AND tool IS NOT NULL",
+            ),
+        ),
+    )
+
+
+def test_incremental_keyref_epilogue(spark, tmp_path):
+    """End-of-stream referential check (schemas.py:1391-1405 replay): a tool
+    reference in batch 1 whose declaring key arrives in batch 2 resolves; a
+    reference that never resolves is a miss with its multiplicity."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    # batch 1: two tool turns referencing tool-001 and one referencing
+    # tool-999 (twice, across both batches)
+    rows1 = [
+        ("c1", 0, "tool", "a", "tool-001", TS),
+        ("c1", 1, "tool", "b", "tool-999", TS),
+    ]
+    # batch 2: the assistant declaration of tool-001 (cross-batch key),
+    # plus another dangling tool-999 reference
+    rows2 = [
+        ("c1", 2, "assistant", "c", "tool-001", TS),
+        ("c1", 3, "tool", "d", "tool-999", TS),
+    ]
+    src = str(tmp_path / "kr")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(
+        src + "/f1.parquet"
+    )
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(
+        src + "/f2.parquet"
+    )
+    res = run_incremental(
+        spark, src + "/*", keyref_spec(), str(tmp_path / "krwork"),
+        schema=schema, max_files_per_trigger=1,
+    )
+    assert res.n_batches == 2
+    c = keyref_spec().identities[0]
+    misses = {
+        (r["conv_id"], r["tool"]): r["_n"]
+        for r in res.keyref_misses(spark, c).collect()
+    }
+    # tool-001 resolved across batches — NOT a violation; tool-999 never
+    # declared — one miss with multiplicity 2
+    assert misses == {("c1", "tool-999"): 2}
+
+
 def test_stateful_contiguity_across_batches(spark, tmp_path):
     schema = (
         "conv_id string, turn_idx int, role string, text string, tool string, "
