@@ -610,6 +610,60 @@ def q_decode_failures(spark, sf_dir):
     return failures
 
 
+def q_nillable_events(spark, sf_dir):
+    """xsi:nil triple condition (elements.py:711-728) over a deterministically
+    derived (value, nil-flag) pair — planted corruptions include non-boolean
+    nil lexicals and nilled-but-present content."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("_ev_nil")
+    d = spark.sql("""
+        SELECT event_id,
+          CASE WHEN event_id % 13 = 0 THEN 'true'
+               WHEN event_id % 13 = 1 THEN 'yes'
+               WHEN event_id % 13 = 2 THEN '1'
+               ELSE 'false' END AS nil,
+          CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS val
+        FROM _ev_nil
+    """)
+    sp = S.TableSpec(
+        name="events_nil", scope_col="event_id", order_col="event_id",
+        columns=(S.ColumnSpec("val", (S.Nillable("nil"),)),),
+    )
+    res = validate(d, sp)
+    return res.violations.select(
+        F.col("conv_id").alias("event_id"),
+        F.col("offending_value"),
+    )
+
+
+_UNION_MIX_SQL = """
+SELECT CASE WHEN event_id % 4 = 0 THEN CAST(event_id % 1000 AS VARCHAR(30))
+            WHEN event_id % 4 = 1
+              THEN '2024-01-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR(30)),
+                                      2, '0')
+            WHEN event_id % 4 = 2 THEN props
+            ELSE NULL END AS u
+FROM {events}
+"""
+
+
+def q_union_decode_members(spark, sf_dir):
+    """xs:union typed decode cascade (simple_types.py:1177-1210): which member
+    of union(int, date) wins over a deterministically mixed-lexical column
+    (int forms, date forms, JSON junk, NULLs), counted per member."""
+    from sissaschool_xmlschema_spark.plans.decode import union_decode
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("_ev_union")
+    d = spark.sql(_UNION_MIX_SQL.format(events="_ev_union"))
+    typed, _failures = union_decode(d, "u", ("int", "date"))
+    return (
+        typed.select(F.col("u.member").alias("member"))
+        .groupBy("member")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary payload plumbing: Arrow-batched feature extraction over
     mapInPandas with the stubbed decode kernel (rows-only check)."""
@@ -716,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_docs_by_source": q_stats_docs_by_source,
         "embedding_dups": q_embedding_dups,
         "decode_failures": q_decode_failures,
+        "nillable_events": q_nillable_events,
+        "union_decode_members": q_union_decode_members,
         "multimodal_features": q_multimodal_features,
         "simhash_pairs": q_simhash_pairs,
         "simhash_fast": q_simhash_fast,
@@ -1376,6 +1432,34 @@ WITH f AS (
 )
 SELECT "column", offending_value, CAST(COUNT(*) AS BIGINT) AS n
 FROM f GROUP BY "column", offending_value
+"""
+
+    sql["nillable_events"] = """
+WITH d AS (
+  SELECT event_id,
+    CASE WHEN event_id % 13 = 0 THEN 'true'
+         WHEN event_id % 13 = 1 THEN 'yes'
+         WHEN event_id % 13 = 2 THEN '1'
+         ELSE 'false' END AS nil,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS val
+  FROM events
+)
+SELECT CAST(event_id AS VARCHAR(30)) AS event_id, val AS offending_value
+FROM d
+WHERE NOT (nil IS NULL
+           OR (nil IN ('true','1','false','0')
+               AND (nil NOT IN ('true','1') OR val IS NULL)))
+"""
+
+    sql["union_decode_members"] = f"""
+WITH d AS ({_UNION_MIX_SQL.format(events="events")})
+SELECT
+  CASE WHEN u IS NULL THEN NULL
+       WHEN TRY_CAST(u AS INT) IS NOT NULL THEN 'int'
+       WHEN TRY_CAST(u AS DATE) IS NOT NULL THEN 'date'
+       ELSE NULL END AS member,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY 1
 """
 
     return sql

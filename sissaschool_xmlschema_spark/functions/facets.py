@@ -176,6 +176,25 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
             "not a valid base64Binary lexical form"
         )
 
+    if isinstance(facet, S.Nillable):
+        # xsi:nil triple condition (elements.py:711-728): (1) nil must be a
+        # boolean lexical, (2) nil=true requires empty content, (3) nil=true
+        # conflicts with a fixed-value constraint.  NOT _null_ok-wrapped on
+        # the value: a null value is exactly what a true nil demands.
+        nil = F.col(facet.nil_col)
+        is_bool = nil.isin("true", "1", "false", "0")
+        is_true = nil.isin("true", "1")
+        if facet.fixed is not None:
+            content_ok = ~is_true  # nil=true is an error under fixed
+        else:
+            content_ok = ~is_true | c.isNull()
+        return nil.isNull() | (is_bool & content_ok), (
+            f"xsi:nil violation on {facet.nil_col!r}: nil must be boolean; a "
+            "true nil requires empty content"
+            + (" and conflicts with the fixed value" if facet.fixed is not None
+               else "")
+        )
+
     if isinstance(facet, S.NotInSet):
         return _null_ok(c, ~c.isin(list(facet.values))), (
             f"value must not be one of {list(facet.values)[:5]!r} "

@@ -100,6 +100,65 @@ def decode(
     return typed, failures
 
 
+def union_decode_col(name: str, members: Sequence[str]) -> Column:
+    """xs:union typed decode (simple_types.py:1177-1210): the value decodes
+    into the value space of the FIRST member whose cast succeeds — an ordered
+    coalesce of try_casts.  Because members have different Spark types, the
+    result is a struct: ``member`` names the winning member (NULL = no member
+    matched / input null) and one typed ``as_<type>`` slot per member, only
+    the winner's slot non-null.
+    """
+    c = F.col(name)
+    casts = [c.try_cast(m) for m in members]
+    member = F.coalesce(
+        *[
+            F.when(casts[i].isNotNull(), F.lit(m))
+            for i, m in enumerate(members)
+        ],
+        F.lit(None).cast("string"),
+    )
+    slots = []
+    prior_failed = F.lit(True)
+    for i, m in enumerate(members):
+        slot = F.when(prior_failed & casts[i].isNotNull(), casts[i])
+        slots.append(slot.alias(f"as_{m.replace(' ', '_')}"))
+        prior_failed = prior_failed & casts[i].isNull()
+    return F.struct(member.alias("member"), *slots)
+
+
+def union_decode(
+    df: DataFrame,
+    name: str,
+    members: Sequence[str],
+    keep_columns: Sequence[str] = (),
+) -> Tuple[DataFrame, DataFrame]:
+    """Union decode with a failure side channel, mirroring :func:`decode`.
+
+    ``typed`` replaces ``name`` with the union struct; ``failures`` lists the
+    distinct lexical forms NO member accepted, with multiplicity (the
+    reference raises a decode error after the member cascade is exhausted,
+    simple_types.py:1201-1210).
+    """
+    typed = df.select(
+        *[F.col(k) for k in keep_columns],
+        union_decode_col(name, members).alias(name),
+    )
+    src = F.col(name)
+    all_fail = src.isNotNull()
+    for m in members:
+        all_fail = all_fail & src.try_cast(m).isNull()
+    failures = (
+        df.filter(all_fail)
+        .select(
+            F.lit(name).alias("column"),
+            src.cast("string").alias("offending_value"),
+        )
+        .groupBy("column", "offending_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return typed, failures
+
+
 def decode_transcripts(df: DataFrame) -> Tuple[DataFrame, DataFrame]:
     """Canonical transcript decode: string-typed ingest → typed table.
 

@@ -177,6 +177,18 @@ class Assertion(Facet):
 
 
 @dataclass(frozen=True)
+class Nillable(Facet):
+    """xsi:nil triple condition (elements.py:711-728): the nil-flag column
+    must hold a boolean lexical when present; a true nil requires the value
+    to be ABSENT; and nil=true is an error outright when the column carries a
+    fixed-value constraint (pass it as ``fixed``).  A nil of 'false'/absent
+    imposes nothing — the value column's other facets still apply."""
+
+    nil_col: str
+    fixed: Optional[object] = None
+
+
+@dataclass(frozen=True)
 class HexBinary(Facet):
     """Lexical space of xs:hexBinary: even count of hex digits —
     helpers.py:249-257 (hex_binary_validator)."""

@@ -39,6 +39,42 @@ def test_decode_default_value(spark):
     assert failures.count() == 1
 
 
+def test_union_decode_first_member_wins(spark):
+    """xs:union typed decode (simple_types.py:1177-1210): ordered cascade —
+    a value decodes into the FIRST member's value space that accepts it."""
+    from sissaschool_xmlschema_spark.plans.decode import union_decode
+
+    df = spark.createDataFrame(
+        [("42",), ("2024-03-01",), ("neither",), (None,)], "u string"
+    )
+    typed, failures = union_decode(df, "u", ("int", "date"))
+    rows = {
+        (r["u"]["member"]): (r["u"]["as_int"], r["u"]["as_date"])
+        for r in typed.collect()
+    }
+    import datetime as dt
+
+    assert rows["int"] == (42, None)
+    assert rows["date"] == (None, dt.date(2024, 3, 1))
+    assert rows[None] == (None, None)  # no member matched / input null
+    f = {(r["offending_value"]): r["n"] for r in failures.collect()}
+    assert f == {"neither": 1}  # source NULL is not a decode failure
+
+
+def test_union_decode_order_matters(spark):
+    """'7' is valid for both int and string members — the first declared
+    member wins, exactly the reference's ordered cascade."""
+    from sissaschool_xmlschema_spark.plans.decode import union_decode
+
+    df = spark.createDataFrame([("7",)], "u string")
+    typed, _ = union_decode(df, "u", ("int", "string"))
+    r = typed.first()["u"]
+    assert r["member"] == "int" and r["as_int"] == 7 and r["as_string"] is None
+    typed2, _ = union_decode(df, "u", ("string", "int"))
+    r2 = typed2.first()["u"]
+    assert r2["member"] == "string" and r2["as_string"] == "7"
+
+
 def test_decode_transcripts_preserves_text(spark):
     raw = spark.createDataFrame(
         [("c1", "0", "user", "keep\t\nwhitespace  intact", None,

@@ -83,6 +83,39 @@ def test_fixed_and_assertion(spark):
     ) == [True, False, True]
 
 
+def test_nillable_triple_condition(spark):
+    """xsi:nil (elements.py:711-728): nil must be boolean; nil=true requires
+    empty content; nil=true conflicts with a fixed value."""
+    df = spark.createDataFrame(
+        [
+            ("true", None),    # nilled and empty         -> ok
+            ("1", None),       # boolean lexical '1'      -> ok
+            ("true", "x"),     # nilled but content       -> FAIL
+            ("yes", None),     # non-boolean nil          -> FAIL
+            ("false", "x"),    # not nilled, content fine -> ok
+            (None, "x"),       # nil absent               -> ok
+            (None, None),      # nil absent, value absent -> ok
+        ],
+        "nil string, v string",
+    )
+    ok, _ = lower_facet(S.Nillable("nil"), "v")
+    got = [r[0] for r in df.select(ok.alias("ok")).collect()]
+    assert got == [True, True, False, False, True, True, True]
+    # with a fixed-value constraint, nil=true is an error outright
+    okf, _ = lower_facet(S.Nillable("nil", fixed="x"), "v")
+    gotf = [r[0] for r in df.select(okf.alias("ok")).collect()]
+    assert gotf == [False, False, False, False, True, True, True]
+
+
+def test_nillable_spec_roundtrip():
+    from sissaschool_xmlschema_spark.spec_io import spec_from_dict, spec_to_dict
+
+    sp = S.TableSpec(
+        name="t", columns=(S.ColumnSpec("v", (S.Nillable("nil", fixed="x"),)),)
+    )
+    assert spec_from_dict(spec_to_dict(sp)) == sp
+
+
 def test_assertion_value_token_is_word_bounded(spark):
     """Regression: only the standalone `$value`/`value` token is rewritten —
     identifiers containing 'value' and the string literal 'value' survive
