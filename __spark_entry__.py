@@ -666,12 +666,20 @@ def q_union_decode_members(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary payload plumbing: Arrow-batched feature extraction over
-    mapInPandas with the stubbed decode kernel (rows-only check)."""
+    mapInPandas with the stubbed decode kernel — portable md5 flavor, so the
+    feature VALUES themselves (not just shapes) hash-match the oracle."""
     from sissaschool_xmlschema_spark.operators import multimodal
 
     media = multimodal.synthetic_media(spark, _docs(spark, sf_dir))
-    feats = multimodal.extract_features(media)
-    return feats.select("media_id", "mime", "n_bytes", F.size("feature").alias("dim"))
+    feats = multimodal.extract_features(media, portable=True)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.size("feature").alias("dim"),
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.PORTABLE_FEATURE_DIM)
+        ],
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1432,6 +1440,34 @@ WITH f AS (
 )
 SELECT "column", offending_value, CAST(COUNT(*) AS BIGINT) AS n
 FROM f GROUP BY "column", offending_value
+"""
+
+    # portable multimodal features: component i = the i-th 4-hex-digit slice
+    # of md5(payload) as an integer / 65535 — hex digits decoded with strpos
+    # arithmetic (DuckDB has no hex→int conv); payload = utf-8 bytes of text
+    def _hexval(expr: str, pos: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+        )
+
+    _mm_feats = ", ".join(
+        "ROUND(("
+        + " + ".join(
+            f"{_hexval('h', 4 * i + 1 + j)} * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        + f") / 65535.0, 6) AS f{i}"
+        for i in range(8)
+    )
+    sql["multimodal_features"] = f"""
+WITH m AS (
+  SELECT 'm-' || CAST(doc_id AS VARCHAR(30)) AS media_id,
+         'image/fake' AS mime,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT media_id, mime, n_bytes, 8 AS dim, {_mm_feats} FROM m
 """
 
     sql["nillable_events"] = """

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -56,6 +57,18 @@ FEATURE_SCHEMA = StructType(
 
 FEATURE_DIM = 16
 
+# portable flavor: md5 (32 hex digits) → 8 components of 4 hex digits each,
+# double precision so any SQL oracle reproduces the values bit-for-bit
+PORTABLE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+PORTABLE_FEATURE_DIM = 8
+
 
 def synthetic_media(spark, docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
@@ -77,12 +90,16 @@ def extract_features(
     media: DataFrame,
     decode_stub: bool = True,
     batch_payloads: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """Decode + featurize payloads via mapInPandas (Arrow-batched).
 
-    With ``decode_stub`` the feature is a deterministic hash-derived vector of
-    FEATURE_DIM floats — byte-identical across runs and engines.  The real
-    path raises NotImplementedError naming the missing codec dependency.
+    With ``decode_stub`` the feature is a deterministic hash-derived vector —
+    byte-identical across runs.  ``portable=True`` derives
+    PORTABLE_FEATURE_DIM doubles from md5 hex digits (4 digits per
+    component), which a SQL oracle reproduces with substring arithmetic; the
+    default sha256/float flavor is the production stand-in.  The real path
+    raises NotImplementedError naming the missing codec dependency.
     """
 
     def kernel(batches: Iterator) -> Iterator:
@@ -98,14 +115,23 @@ def extract_features(
                 )
             feats = []
             for payload in pdf["payload"]:
-                digest = hashlib.sha256(bytes(payload)).digest()
-                feats.append(
-                    [
-                        int.from_bytes(digest[2 * i: 2 * i + 2], "big")
-                        / 65535.0
-                        for i in range(FEATURE_DIM)
-                    ]
-                )
+                if portable:
+                    hx = hashlib.md5(bytes(payload)).hexdigest()
+                    feats.append(
+                        [
+                            int(hx[4 * i: 4 * i + 4], 16) / 65535.0
+                            for i in range(PORTABLE_FEATURE_DIM)
+                        ]
+                    )
+                else:
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    feats.append(
+                        [
+                            int.from_bytes(digest[2 * i: 2 * i + 2], "big")
+                            / 65535.0
+                            for i in range(FEATURE_DIM)
+                        ]
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -119,7 +145,8 @@ def extract_features(
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_payloads)
     )
-    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+    schema = PORTABLE_FEATURE_SCHEMA if portable else FEATURE_SCHEMA
+    return media.mapInPandas(kernel, schema)
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:
