@@ -84,11 +84,17 @@ def translate_pattern(pattern: str) -> str:
         if ch == "[":
             # look for XSD class subtraction [body-[sub]]
             in_class = True
+            class_start = len(out)
             out.append(ch)
             i += 1
             continue
         if in_class and ch == "-" and i + 1 < n and pattern[i + 1] == "[":
-            # subtraction: [a-z-[aeiou]] → [a-z&&[^aeiou]]
+            # subtraction [body-[sub]] → [[body]&&[^sub]].  The body is
+            # wrapped as a NESTED class so a leading '^' negates only the
+            # body: XSD's [^a-z-[0-9]] means (¬a-z) − 0-9, but Java's
+            # whole-class negation would read [^a-z&&[^0-9]] as
+            # ¬(a-z − 0-9).  The subtrahend recurses WITH its brackets so
+            # nested subtraction ([a-z-[aeiou-[e]]]) keeps class context.
             depth, j = 1, i + 2
             while j < n and depth:
                 if pattern[j] == "[":
@@ -97,7 +103,10 @@ def translate_pattern(pattern: str) -> str:
                     depth -= 1
                 j += 1
             sub = pattern[i + 2 : j - 1]
-            out.append(f"&&[^{translate_pattern(sub)}]")
+            inner = translate_pattern(f"[{sub}]")[1:-1]
+            body = "".join(out[class_start + 1:])
+            del out[class_start + 1:]
+            out.append(f"[{body}]&&[^{inner}]")
             i = j
             continue
         if ch == "]":

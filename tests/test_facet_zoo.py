@@ -190,7 +190,21 @@ def test_xsd_name_classes(spark):
 
 def test_class_subtraction():
     java = translate_pattern("[a-z-[aeiou]]")
-    assert java == "[a-z&&[^aeiou]]"
+    assert java == "[[a-z]&&[^aeiou]]"
+
+
+def test_nested_class_subtraction(spark):
+    """[a-z-[aeiou-[e]]] = a-z minus (aeiou minus e): admits 'e' and
+    consonants, rejects the other vowels — XSD charClassSub recursion
+    (elementpath.translate_pattern parity)."""
+    got = check(spark, S.Pattern(("[a-z-[aeiou-[e]]]",)), ["e", "b", "a", "o"])
+    assert got == [True, True, False, False]
+
+
+def test_negated_class_with_subtraction(spark):
+    """[^a-z-[0-9]] = (anything not a-z) minus digits."""
+    got = check(spark, S.Pattern(("[^a-z-[0-9]]",)), ["Q", "!", "7", "k"])
+    assert got == [True, True, False, False]
 
 
 def test_unsupported_constructs_fail_at_compile_time():
