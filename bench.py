@@ -200,6 +200,7 @@ def main() -> int:
                     help="run the N vs 4N cores protocol, write BENCH/BASELINE.md")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--convs", type=int, default=BENCH_CONVS)
+    ap.add_argument("--timed-runs", type=int, default=5)
     args = ap.parse_args()
 
     if args.scaling:
@@ -208,7 +209,8 @@ def main() -> int:
     spark = _session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     btable = ensure_bucketed_table(spark, args.convs)
-    bdt, n_rows, n_viol, cold = run_suite(spark, btable, bucketed=True)
+    bdt, n_rows, n_viol, cold = run_suite(spark, btable, bucketed=True,
+                                          timed_runs=args.timed_runs)
     pdt = None
     if not args.suite_only:  # scaling subprocesses skip the secondary layout
         pdt, _, _, _ = run_suite(spark, _table_path(args.convs))
@@ -241,7 +243,7 @@ def scaling_protocol(reps: int) -> int:
         for cores in (8, 32):
             out = subprocess.run(
                 [sys.executable, me, "--suite-only", "--cores", str(cores),
-                 "--convs", str(SCALING_CONVS)],
+                 "--convs", str(SCALING_CONVS), "--timed-runs", "3"],
                 capture_output=True, text=True, check=True,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
