@@ -424,9 +424,14 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH candidate pairs, portable md5 flavor (oracle-checkable)."""
+    """MinHash+LSH candidate pairs, portable md5 flavor (oracle-checkable).
+
+    k=24 in 8 bands of 3 rows: the S-curve threshold (1/b)^(1/r) = 0.5
+    matches the pipeline's Jaccard cut — the round-1 k=8/4-band config
+    (2 rows/band) admitted ~80% of ALL pairs as candidates, which is a
+    scale-killer masquerading as recall."""
     return dedup.minhash_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=8, bands=4, portable=True
+        _docs(spark, sf_dir), "doc_id", "text", k=24, bands=8, portable=True
     )
 
 
@@ -435,7 +440,7 @@ def q_dedup_verified(spark, sf_dir):
     candidate pairs only (portable md5 flavor for the oracle)."""
     return dedup.verified_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        threshold_num=1, threshold_den=2, k=8, bands=4, portable=True,
+        threshold_num=1, threshold_den=2, k=24, bands=8, portable=True,
     )
 
 
@@ -702,7 +707,34 @@ def q_simhash_fast(spark, sf_dir):
 def q_minhash_fast(spark, sf_dir):
     """MinHash+LSH with xxhash64 signatures (production flavor, no oracle)."""
     return dedup.minhash_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", k=16, bands=4, portable=False
+        _docs(spark, sf_dir), "doc_id", "text", k=24, bands=8, portable=False
+    )
+
+
+def q_dedup_keep(spark, sf_dir):
+    """Greedy LSH dedup keep-list — O(n) output on any corpus (the pair
+    queries above enumerate O(cluster^2) pairs by definition); portable md5
+    flavor so DuckDB reproduces the drop decisions exactly."""
+    keep = dedup.lsh_dedup_keep(
+        _docs(spark, sf_dir), "doc_id", "text", k=24, bands=8, portable=True
+    )
+    return keep.select(F.col("id").alias("doc_id"))
+
+
+def q_dedup_keep_fast(spark, sf_dir):
+    """Production flavor of the keep-list (xxhash64 signatures, no oracle)."""
+    keep = dedup.lsh_dedup_keep(
+        _docs(spark, sf_dir), "doc_id", "text", k=24, bands=8, portable=False
+    )
+    return keep.select(F.col("id").alias("doc_id"))
+
+
+def q_dedup_verified_fast(spark, sf_dir):
+    """Production near-dup pipeline end-to-end with xxhash64 signatures —
+    the flavor a 100 TB run uses (no string hashing; no oracle)."""
+    return dedup.verified_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        threshold_num=1, threshold_den=2, k=24, bands=8, portable=False,
     )
 
 
@@ -784,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_fast": q_simhash_fast,
         "minhash_fast": q_minhash_fast,
+        "dedup_verified_fast": q_dedup_verified_fast,
+        "dedup_keep": q_dedup_keep,
+        "dedup_keep_fast": q_dedup_keep_fast,
         "stats_approx": q_stats_approx,
         "lsh_topk": q_lsh_topk,
     }
@@ -1180,8 +1215,8 @@ WITH toks AS (
     string_split_regex(text, '\\s+')), t -> t <> '')) AS token
   FROM documents
 ),
-sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7 FROM toks GROUP BY id),
-buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h2 || '|' || h3) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h6 || '|' || h7) AS bkey FROM sigs)
+sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7, MIN(md5('42:8:' || token)) AS h8, MIN(md5('42:9:' || token)) AS h9, MIN(md5('42:10:' || token)) AS h10, MIN(md5('42:11:' || token)) AS h11, MIN(md5('42:12:' || token)) AS h12, MIN(md5('42:13:' || token)) AS h13, MIN(md5('42:14:' || token)) AS h14, MIN(md5('42:15:' || token)) AS h15, MIN(md5('42:16:' || token)) AS h16, MIN(md5('42:17:' || token)) AS h17, MIN(md5('42:18:' || token)) AS h18, MIN(md5('42:19:' || token)) AS h19, MIN(md5('42:20:' || token)) AS h20, MIN(md5('42:21:' || token)) AS h21, MIN(md5('42:22:' || token)) AS h22, MIN(md5('42:23:' || token)) AS h23 FROM toks GROUP BY id),
+buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS bkey FROM sigs UNION ALL SELECT id, 4 AS band, md5(h12 || '|' || h13 || '|' || h14) AS bkey FROM sigs UNION ALL SELECT id, 5 AS band, md5(h15 || '|' || h16 || '|' || h17) AS bkey FROM sigs UNION ALL SELECT id, 6 AS band, md5(h18 || '|' || h19 || '|' || h20) AS bkey FROM sigs UNION ALL SELECT id, 7 AS band, md5(h21 || '|' || h22 || '|' || h23) AS bkey FROM sigs)
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
@@ -1193,8 +1228,8 @@ WITH toks AS (
     string_split_regex(text, '\\s+')), t -> t <> '')) AS token
   FROM documents
 ),
-sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7 FROM toks GROUP BY id),
-buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h2 || '|' || h3) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h6 || '|' || h7) AS bkey FROM sigs),
+sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7, MIN(md5('42:8:' || token)) AS h8, MIN(md5('42:9:' || token)) AS h9, MIN(md5('42:10:' || token)) AS h10, MIN(md5('42:11:' || token)) AS h11, MIN(md5('42:12:' || token)) AS h12, MIN(md5('42:13:' || token)) AS h13, MIN(md5('42:14:' || token)) AS h14, MIN(md5('42:15:' || token)) AS h15, MIN(md5('42:16:' || token)) AS h16, MIN(md5('42:17:' || token)) AS h17, MIN(md5('42:18:' || token)) AS h18, MIN(md5('42:19:' || token)) AS h19, MIN(md5('42:20:' || token)) AS h20, MIN(md5('42:21:' || token)) AS h21, MIN(md5('42:22:' || token)) AS h22, MIN(md5('42:23:' || token)) AS h23 FROM toks GROUP BY id),
+buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS bkey FROM sigs UNION ALL SELECT id, 4 AS band, md5(h12 || '|' || h13 || '|' || h14) AS bkey FROM sigs UNION ALL SELECT id, 5 AS band, md5(h15 || '|' || h16 || '|' || h17) AS bkey FROM sigs UNION ALL SELECT id, 6 AS band, md5(h18 || '|' || h19 || '|' || h20) AS bkey FROM sigs UNION ALL SELECT id, 7 AS band, md5(h21 || '|' || h22 || '|' || h23) AS bkey FROM sigs),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM buckets a JOIN buckets b
@@ -1496,6 +1531,24 @@ SELECT
        ELSE NULL END AS member,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM d GROUP BY 1
+"""
+
+    sql["dedup_keep"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, UNNEST(list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '')) AS token
+  FROM documents
+),
+sigs AS (SELECT id, MIN(md5('42:0:' || token)) AS h0, MIN(md5('42:1:' || token)) AS h1, MIN(md5('42:2:' || token)) AS h2, MIN(md5('42:3:' || token)) AS h3, MIN(md5('42:4:' || token)) AS h4, MIN(md5('42:5:' || token)) AS h5, MIN(md5('42:6:' || token)) AS h6, MIN(md5('42:7:' || token)) AS h7, MIN(md5('42:8:' || token)) AS h8, MIN(md5('42:9:' || token)) AS h9, MIN(md5('42:10:' || token)) AS h10, MIN(md5('42:11:' || token)) AS h11, MIN(md5('42:12:' || token)) AS h12, MIN(md5('42:13:' || token)) AS h13, MIN(md5('42:14:' || token)) AS h14, MIN(md5('42:15:' || token)) AS h15, MIN(md5('42:16:' || token)) AS h16, MIN(md5('42:17:' || token)) AS h17, MIN(md5('42:18:' || token)) AS h18, MIN(md5('42:19:' || token)) AS h19, MIN(md5('42:20:' || token)) AS h20, MIN(md5('42:21:' || token)) AS h21, MIN(md5('42:22:' || token)) AS h22, MIN(md5('42:23:' || token)) AS h23 FROM toks GROUP BY id),
+buckets AS (SELECT id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bkey FROM sigs UNION ALL SELECT id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS bkey FROM sigs UNION ALL SELECT id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS bkey FROM sigs UNION ALL SELECT id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS bkey FROM sigs UNION ALL SELECT id, 4 AS band, md5(h12 || '|' || h13 || '|' || h14) AS bkey FROM sigs UNION ALL SELECT id, 5 AS band, md5(h15 || '|' || h16 || '|' || h17) AS bkey FROM sigs UNION ALL SELECT id, 6 AS band, md5(h18 || '|' || h19 || '|' || h20) AS bkey FROM sigs UNION ALL SELECT id, 7 AS band, md5(h21 || '|' || h22 || '|' || h23) AS bkey FROM sigs),
+mins AS (SELECT band, bkey, MIN(id) AS min_id FROM buckets GROUP BY band, bkey),
+dropped AS (
+  SELECT DISTINCT b.id FROM buckets b
+  JOIN mins m ON b.band = m.band AND b.bkey = m.bkey
+  WHERE b.id > m.min_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
     return sql

@@ -195,17 +195,16 @@ def minhash_signatures(
     return toks.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     k: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Distinct candidate pairs ``(id_a, id_b)`` sharing ≥1 LSH band.
+    """``(id, band, bkey)`` — one LSH bucket row per band per document.
 
-    Signature split into ``bands`` bands of k/bands rows; band key = the
-    concatenated band slice.  Pair generation is an equi-join on
-    (band, band_key) — documents only meet if a whole band matches, which is
-    the classic S-curve collision probability (Broder; Leskovec MMDS ch.3).
+    Signature split into ``bands`` bands of k/bands rows; band key = md5 of
+    the concatenated band slice.  The classic S-curve threshold is
+    (1/bands)^(bands/k) (Broder; Leskovec MMDS ch.3).
     """
     rows_per_band = k // bands
     assert rows_per_band * bands == k, "k must be divisible by bands"
@@ -221,9 +220,25 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws("|", *cols)).alias("bkey"),
             )
         )
-    buckets = signatures.select(
+    return signatures.select(
         "id", F.explode(F.array(*band_rows)).alias("b")
     ).select("id", "b.band", "b.bkey")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs ``(id_a, id_b)`` sharing ≥1 LSH band.
+
+    Pair generation is an equi-join on (band, band_key) — documents only
+    meet if a whole band matches.  NOTE: on a duplicate-dense corpus the
+    OUTPUT itself is quadratic in cluster size (a clique of m dups is m²/2
+    pairs); when the goal is dedup rather than pair analysis, use
+    :func:`lsh_dedup_keep`, whose output is O(n).
+    """
+    buckets = band_buckets(signatures, k, bands)
     a = buckets.select(F.col("id").alias("id_a"), "band", "bkey")
     b_ = buckets.select(F.col("id").alias("id_b"), "band", "bkey")
     return (
@@ -232,6 +247,37 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    bands: int = 8,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy LSH dedup keep-list ``(id)`` — the production output shape.
+
+    A document is DROPPED iff some band bucket it occupies contains a
+    smaller id (its near-dup "predecessor"); kept otherwise.  This is the
+    standard greedy MinHash-dedup used on web corpora: output and shuffle
+    volume are O(n·bands) regardless of how duplicate-dense the corpus is —
+    never the O(cluster²) pair enumeration.  (Chains are possible: a dropped
+    doc's predecessor may itself be dropped; exact connected components
+    would need iterative min-propagation, deliberately not done here.)
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, portable, seed)
+    buckets = band_buckets(sigs, k, bands)
+    mins = buckets.groupBy("band", "bkey").agg(F.min("id").alias("_min_id"))
+    dropped = (
+        buckets.join(mins, ["band", "bkey"])
+        .filter(F.col("id") > F.col("_min_id"))
+        .select("id")
+        .distinct()
+    )
+    return df.select(F.col(id_col).alias("id")).join(dropped, "id", "left_anti")
 
 
 def minhash_dup_pairs(

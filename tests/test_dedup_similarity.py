@@ -244,3 +244,18 @@ def test_verified_pipeline_subset_of_exact_jaccard(spark, docs):
     assert verified <= exact
     # identical-token-set docs always collide in LSH and pass verification
     assert (1, 3) in verified and (1, 5) in verified
+
+
+def test_lsh_dedup_keep_output_is_linear(spark, docs):
+    """Keep-list semantics: exact duplicates collapse to the smallest id;
+    every dropped doc shares at least one band bucket with a smaller id."""
+    keep = {
+        r["id"]
+        for r in dedup.lsh_dedup_keep(
+            docs, "doc_id", "text", k=8, bands=4, portable=True
+        ).collect()
+    }
+    # ids 1/3/5 share the token set (identical signatures): only 1 survives
+    assert 1 in keep and 3 not in keep and 5 not in keep
+    # the lone unrelated doc always survives
+    assert 4 in keep
