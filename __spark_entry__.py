@@ -110,6 +110,10 @@ def _validated(spark: SparkSession, sf_dir: str):
     if key not in _VALIDATION_CACHE:
         res = validate(_t(spark, sf_dir), events_transcript_spec())
         res.violations = res.violations.persist()
+        # materialize the cache directly on the violations plan: the first
+        # consumer would otherwise trigger it under its own query shape and
+        # pay a one-off recompute-looking penalty
+        res.violations.count()
         _VALIDATION_CACHE[key] = res
     return _VALIDATION_CACHE[key]
 
