@@ -146,3 +146,23 @@ def test_cli_validate(spark, tmp_path):
     assert viol.count() == summary["violations"]
     verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
     assert verd.count() == 10
+
+
+def test_py_files_package_builds(tmp_path):
+    """tools/package.py builds the spark-submit --py-files artifact and the
+    package is importable straight from the zip (executor-side semantics)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import package as pkgtool
+
+    out = pkgtool.build(str(tmp_path / "pkg.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import sissaschool_xmlschema_spark.spec as S; "
+        "print(S.TableSpec('t').name)" % out
+    )
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and r.stdout.strip() == "t"
