@@ -166,3 +166,30 @@ def test_py_files_package_builds(tmp_path):
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True)
     assert r.returncode == 0 and r.stdout.strip() == "t"
+
+
+def test_read_table_fallbacks(spark, tmp_path):
+    """tables.read_table resolves parquet paths and catalog names; snapshot
+    pinning is refused loudly without an Iceberg runtime."""
+    from sissaschool_xmlschema_spark.sources import tables
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int") \
+        .write.parquet(p)
+    assert tables.read_table(spark, p).count() == 1
+    spark.read.parquet(p).createOrReplaceTempView("_tbl_view")
+    assert tables.read_table(spark, "_tbl_view").count() == 1
+    if not tables.has_iceberg(spark):
+        with pytest.raises(ValueError):
+            tables.read_table(spark, p, snapshot_id=1)
+
+
+def test_incremental_source_file_fallback(spark, tmp_path):
+    from sissaschool_xmlschema_spark.sources import tables
+
+    p = str(tmp_path / "s.parquet")
+    spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int") \
+        .repartition(1).write.parquet(p + "/f1.parquet")
+    stream = tables.incremental_source(spark, p + "/*",
+                                       schema="conv_id string, turn_idx int")
+    assert stream.isStreaming
