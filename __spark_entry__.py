@@ -303,6 +303,29 @@ def q_drift_value(spark, sf_dir):
     )
 
 
+def q_drift_turncount(spark, sf_dir):
+    """PSI + KS on the per-conversation TURN-COUNT distribution (the north
+    star's second named drift axis): conversations starting in the later
+    half of the time range vs the earlier half.  KS runs exact here
+    (ks_bins=None) — turn counts are small integers, the legitimate
+    bounded-cardinality case for the exact path."""
+    t = _t(spark, sf_dir)
+    per_conv = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_turns"),
+        F.min(F.unix_timestamp("ts").cast("double")).alias("t0"),
+    )
+    b = per_conv.agg(F.min("t0").alias("lo"), F.max("t0").alias("hi")).first()
+    mid = (b["lo"] + b["hi"]) / 2.0
+    rep = drift.tagged_drift_report(
+        per_conv, "n_turns", f"t0 >= {mid!r}", n_buckets=10, ks_bins=None
+    )
+    return rep.select(
+        F.lit("n_turns").alias("column"),
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-table validation family
 # ---------------------------------------------------------------------------
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_transcripts": q_stats_transcripts,
         "stats_by_role": q_stats_by_role,
         "drift_value": q_drift_value,
+        "drift_turncount": q_drift_turncount,
         "tpch_keyref_customer": q_tpch_keyref_customer,
         "tpch_referential_audit": q_tpch_referential_audit,
         "verdicts_rollup": q_verdicts_rollup,
@@ -1066,6 +1090,44 @@ ks_v AS (
   SELECT MAX(ABS(c_a / t_a - c_b / t_b)) AS ks FROM cdf, tot2
 )
 SELECT 'value' AS "column", ROUND(psi, 6) AS psi, ROUND(ks, 6) AS ks
+FROM psi_v, ks_v
+"""
+
+    sql["drift_turncount"] = f"""
+WITH t AS ({_CTE}),
+pc AS (
+  SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS v, MIN(epoch(ts)) AS t0
+  FROM t GROUP BY conv_id
+),
+b AS (SELECT (MIN(t0) + MAX(t0)) / 2.0 AS m FROM pc),
+vb AS (SELECT MIN(v) AS vlo, MAX(v) AS vhi FROM pc, b WHERE t0 < m),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - vlo) / ((vhi - vlo) / 10.0))
+    AS BIGINT), 0), 9) AS bucket,
+    COUNT(*) FILTER (t0 >= m) AS n_cur,
+    COUNT(*) FILTER (t0 < m) AS n_base
+  FROM pc, b, vb GROUP BY 1
+),
+tot AS (SELECT SUM(n_cur) AS t_cur, SUM(n_base) AS t_base FROM hist),
+psi_v AS (
+  SELECT SUM(
+    ((n_cur / t_cur + 1e-6) - (n_base / t_base + 1e-6))
+    * LN((n_cur / t_cur + 1e-6) / (n_base / t_base + 1e-6))
+  ) AS psi FROM hist, tot
+),
+vals AS (
+  SELECT v, COUNT(*) FILTER (t0 >= m) AS n_a,
+         COUNT(*) FILTER (t0 < m) AS n_b
+  FROM pc, b GROUP BY v
+),
+cdf AS (
+  SELECT SUM(n_a) OVER (ORDER BY v) AS c_a,
+         SUM(n_b) OVER (ORDER BY v) AS c_b
+  FROM vals
+),
+tot2 AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM vals),
+ks_v AS (SELECT MAX(ABS(c_a / t_a - c_b / t_b)) AS ks FROM cdf, tot2)
+SELECT 'n_turns' AS "column", ROUND(psi, 6) AS psi, ROUND(ks, 6) AS ks
 FROM psi_v, ks_v
 """
 

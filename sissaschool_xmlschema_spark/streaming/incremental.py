@@ -151,13 +151,14 @@ def run_incremental(
     refstate_path = os.path.join(work_dir, "refstate")
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
 
-    if schema is None:
-        schema = spark.read.parquet(input_path).schema.simpleString()[7:-1]
+    from sissaschool_xmlschema_spark.sources.tables import incremental_source
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_path)
+    # Iceberg runtimes stream snapshot ranges; the file fallback streams new
+    # parquet files — either way one micro-batch = one lazy subtree.
+    stream = incremental_source(
+        spark, input_path, schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
     plan = compile_plan(spec)
     uniques = [c for c in spec.identities if isinstance(c, S.Unique)]

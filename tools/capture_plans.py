@@ -56,11 +56,18 @@ def main() -> None:
 
     show("rowlocal-bitmask (plain parquet)", row_local_violations(plain, plan))
     show(
-        "window+occurs fused (bucketed)",
+        "window single-WindowExec (bucketed)",
         model_window_violations(
             bucketed, plan.model, sp.name, sp.scope_col, sp.order_col, (),
-            fuse_occurs=True,
+            fuse_occurs=False,
         ),
+    )
+    from sissaschool_xmlschema_spark.operators.sequence import (
+        occurs_violations,
+    )
+    show(
+        "occurs groupBy (bucketed)",
+        occurs_violations(bucketed, plan.model, sp.name, sp.scope_col),
     )
     kr = [c for c in sp.identities if isinstance(c, S.Keyref)][0]
     show("keyref fused same-table (bucketed)", keyref_misses(bucketed, kr))
