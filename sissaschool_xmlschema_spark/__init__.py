@@ -51,7 +51,10 @@ from sissaschool_xmlschema_spark.spec import (  # noqa: F401
     MinInclusive,
     MinLength,
     Monotone,
+    Nillable,
+    NotInSet,
     Occurs,
+    GroupPandasCheck,
     PandasCheck,
     Pattern,
     Prohibited,
