@@ -607,12 +607,19 @@ def verified_dup_pairs(
     the only all-pairs structure is within LSH buckets.
     """
     cands = minhash_dup_pairs(df, id_col, text_col, k, bands, portable, seed)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        ).alias("toks"),
+    tok_arr = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     )
+    if not portable:
+        # production flavor: verify over 64-bit token hashes — per-pair
+        # array_intersect on longs is ~3x cheaper than on strings (no string
+        # hashing/compare per element); 64-bit collisions are negligible at
+        # any realistic vocabulary.  The portable flavor keeps raw strings
+        # so the DuckDB oracle reproduces intersections exactly.
+        tok_arr = F.array_distinct(
+            F.transform(tok_arr, lambda t: F.xxhash64(t))
+        )
+    toks = df.select(F.col(id_col).alias("id"), tok_arr.alias("toks"))
     a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
