@@ -26,9 +26,10 @@ All operators are pure Column expressions — no Python row path.
 
 from __future__ import annotations
 
-from typing import Optional
+from itertools import combinations
+from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -257,27 +258,82 @@ def lsh_dedup_keep(
     bands: int = 8,
     portable: bool = False,
     seed: int = 42,
+    exact_components: bool = False,
+    max_iterations: int = 50,
 ) -> DataFrame:
-    """Greedy LSH dedup keep-list ``(id)`` — the production output shape.
+    """LSH dedup keep-list ``(id)`` — the production output shape.
 
-    A document is DROPPED iff some band bucket it occupies contains a
-    smaller id (its near-dup "predecessor"); kept otherwise.  This is the
-    standard greedy MinHash-dedup used on web corpora: output and shuffle
-    volume are O(n·bands) regardless of how duplicate-dense the corpus is —
-    never the O(cluster²) pair enumeration.  (Chains are possible: a dropped
-    doc's predecessor may itself be dropped; exact connected components
-    would need iterative min-propagation, deliberately not done here.)
+    Greedy mode (default): a document is DROPPED iff some band bucket it
+    occupies contains a smaller id (its near-dup "predecessor"); kept
+    otherwise.  This is the standard greedy MinHash-dedup used on web
+    corpora: output and shuffle volume are O(n·bands) regardless of how
+    duplicate-dense the corpus is — never the O(cluster²) pair enumeration.
+    Greedy keeps exactly the ids that are minimal in every bucket they
+    occupy; docs linked only transitively (a~b and b~c share buckets, a and
+    c never do) can BOTH survive when each is its own buckets' minimum, and
+    a dropped doc's predecessor may itself be dropped (chains).
+
+    ``exact_components=True`` runs iterative min-id label propagation over
+    the bipartite (doc ↔ bucket) graph to a fixpoint — exact connected
+    components of the LSH candidate graph, keeping exactly one doc (the min
+    id) per component.  Each round is two shuffles over O(n·bands) rows and
+    the round count is the component diameter (≤ log n rounds for realistic
+    cluster shapes); still no pair enumeration anywhere.
     """
     sigs = minhash_signatures(df, id_col, text_col, k, portable, seed)
     buckets = band_buckets(sigs, k, bands)
-    mins = buckets.groupBy("band", "bkey").agg(F.min("id").alias("_min_id"))
-    dropped = (
-        buckets.join(mins, ["band", "bkey"])
-        .filter(F.col("id") > F.col("_min_id"))
-        .select("id")
-        .distinct()
-    )
-    return df.select(F.col(id_col).alias("id")).join(dropped, "id", "left_anti")
+    if not exact_components:
+        mins = buckets.groupBy("band", "bkey").agg(
+            F.min("id").alias("_min_id")
+        )
+        dropped = (
+            buckets.join(mins, ["band", "bkey"])
+            .filter(F.col("id") > F.col("_min_id"))
+            .select("id")
+            .distinct()
+        )
+        return df.select(F.col(id_col).alias("id")).join(
+            dropped, "id", "left_anti"
+        )
+
+    edges = buckets.select(
+        "id", F.concat_ws("|", F.col("band"), F.col("bkey")).alias("bk")
+    ).persist()
+    labels = edges.select("id").distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iterations):
+        labels = labels.persist()
+        # bucket label = min member label; new doc label = min over its
+        # buckets (can only decrease, so min(old, bucket mins) == bucket min
+        # for any doc that has buckets — every doc does, it's its own sig)
+        bucket_min = (
+            edges.join(labels, "id")
+            .groupBy("bk")
+            .agg(F.min("label").alias("_bmin"))
+        )
+        new_labels = (
+            edges.join(bucket_min, "bk")
+            .groupBy("id")
+            .agg(F.min("_bmin").alias("label"))
+        )
+        new_labels = new_labels.persist()
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"lsh_dedup_keep components did not converge in "
+            f"{max_iterations} rounds"
+        )
+    keep = labels.filter(F.col("label") == F.col("id")).select("id")
+    edges.unpersist()
+    return keep
 
 
 def minhash_dup_pairs(
@@ -348,6 +404,140 @@ def _chunk_slices(bits: int, n_chunks: int) -> list:
     return out
 
 
+def _chunk_bits(sig: Column, off: int, w: int) -> Column:
+    """Bits [off, off+w) of a 64-bit signature as a long (w == 64 needs the
+    all-ones mask written as -1: ``(1 << 64) - 1`` overflows LongType)."""
+    shifted = F.shiftrightunsigned(sig, off)
+    if w == 64:
+        return shifted
+    return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
+
+def simhash_table_params(
+    max_hamming: int,
+    n_chunks: Optional[int] = None,
+    combine: Optional[int] = None,
+    allow_weak_keys: bool = False,
+) -> Tuple[int, int]:
+    """Resolve + validate the (n_chunks, combine) candidate-table scheme.
+
+    The generalized pigeonhole (the permuted-table construction of Manku,
+    Jain & Das Sarma, WWW'07 §3, expressed over contiguous chunks): a pair
+    within Hamming ≤ k differs in at most k chunks, so at least
+    ``n_chunks − k`` chunks are clean, and any pair shares at least one of
+    the C(n_chunks, combine) ``combine``-chunk compound keys whenever
+    ``combine ≤ n_chunks − k``.  Recall is exact; economics are governed by
+    the compound-key width ``combine · (64 // n_chunks)``: the expected
+    RANDOM collision rate per pair is ~ tables / 2^width, so keys below
+    ~12 bits turn the candidate join quadratic (the round-2 verdict's
+    radius-8 finding: 9 chunks → 7-bit keys → n²·9/128 candidates).
+
+    Defaults: ``combine=1, n_chunks=max_hamming+1`` while that keeps keys
+    ≥ 12 bits (max_hamming ≤ 4); then ``combine=2, n_chunks=max_hamming+2``
+    (radius ≤ 8); then ``combine=3`` (radius ≤ 13, table count grows as
+    C(n_chunks, 3)); beyond that the caller must choose explicitly and
+    acknowledge weak keys with ``allow_weak_keys=True``.
+    """
+    if n_chunks is None and combine is None:
+        if max_hamming <= 4:
+            n_chunks, combine = max_hamming + 1, 1
+        elif max_hamming <= 8:
+            n_chunks, combine = max_hamming + 2, 2
+        elif max_hamming <= 13:
+            n_chunks, combine = max_hamming + 3, 3
+        else:
+            raise ValueError(
+                f"max_hamming={max_hamming} has no default table scheme with "
+                ">=12-bit keys over a 64-bit SimHash; pass explicit n_chunks/"
+                "combine (and allow_weak_keys=True if the keys are narrow) "
+                "or use a wider signature"
+            )
+    elif combine is None:
+        combine = 1
+    elif n_chunks is None:
+        n_chunks = max_hamming + combine
+    if combine < 1:
+        raise ValueError("combine must be >= 1")
+    if n_chunks - combine < max_hamming:
+        raise ValueError(
+            f"n_chunks={n_chunks}, combine={combine} cannot guarantee recall "
+            f"at max_hamming={max_hamming}; pigeonhole needs "
+            "n_chunks - combine >= max_hamming"
+        )
+    if n_chunks > 64:
+        raise ValueError("n_chunks cannot exceed the 64 signature bits")
+    width = combine * (64 // n_chunks)
+    if width < 12 and not allow_weak_keys:
+        raise ValueError(
+            f"compound keys of ~{width} bits make the candidate join "
+            "quadratic (expected random collisions ~ n^2 * tables / 2^width);"
+            " raise combine, lower max_hamming, or pass allow_weak_keys=True "
+            "to accept the economics explicitly"
+        )
+    return n_chunks, combine
+
+
+def _simhash_tables(
+    sigs: DataFrame, n_chunks: int, combine: int
+) -> DataFrame:
+    """``(id, simhash, tbl, ckey)`` — one bucket row per compound-chunk table.
+
+    C(n_chunks, combine) tables; each key concatenates ``combine`` chunk
+    slices.  Bucket rows are O(n · tables) — the structure every candidate /
+    keep-list consumer joins on.
+    """
+    slices = _chunk_slices(64, n_chunks)
+    tables = []
+    for ti, combo in enumerate(combinations(range(n_chunks), combine)):
+        parts = [
+            _chunk_bits(F.col("simhash"), *slices[c]).cast("string")
+            for c in combo
+        ]
+        key = parts[0] if len(parts) == 1 else F.concat_ws("|", *parts)
+        tables.append(
+            F.struct(F.lit(ti).alias("tbl"), key.alias("ckey"))
+        )
+    return sigs.select(
+        "id", "simhash", F.explode(F.array(*tables)).alias("c")
+    ).select("id", "simhash", "c.tbl", "c.ckey")
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_chunks: Optional[int] = None,
+    combine: Optional[int] = None,
+    allow_weak_keys: bool = False,
+) -> DataFrame:
+    """Distinct PRE-VERIFY candidate pairs ``(id_a, id_b, sig_a, sig_b)``.
+
+    Exposed so tests and capacity planning can measure candidate volume
+    directly — the economics quantity the table scheme controls (candidates
+    ≈ true near-pairs · tables + n²·tables/2^width random collisions)."""
+    n_chunks, combine = simhash_table_params(
+        max_hamming, n_chunks, combine, allow_weak_keys
+    )
+    sigs = simhash_signatures(df, id_col, text_col, 64, seed)
+    chunks = _simhash_tables(sigs, n_chunks, combine)
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
+        "tbl", "ckey",
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
+        "tbl", "ckey",
+    )
+    return (
+        a.join(b, ["tbl", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -355,62 +545,67 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
     n_chunks: Optional[int] = None,
+    combine: Optional[int] = None,
+    allow_weak_keys: bool = False,
 ) -> DataFrame:
     """Near-dup pairs ``(id_a, id_b, hamming)`` with Hamming ≤ max_hamming.
 
-    Candidate generation: split the 64-bit signature into ``n_chunks``
-    contiguous chunks — by pigeonhole, any pair within Hamming ≤ n_chunks − 1
-    shares at least one exact chunk, so candidates come from a chunk
-    equi-join, then the true Hamming distance (bit_count of XOR) filters.
-
-    ``n_chunks`` defaults to ``max_hamming + 1`` (the minimum that makes the
-    recall guarantee hold); passing fewer chunks than that raises — a caller
-    must never silently get a pair set weaker than its parameters advertise.
+    Candidate generation via :func:`simhash_table_params`'s compound-chunk
+    tables (exact recall by pigeonhole), then the true Hamming distance
+    (bit_count of XOR) filters.  NOTE: like all pair enumerations, the
+    OUTPUT is quadratic in duplicate-cluster size; at corpus scale use
+    :func:`simhash_dedup_keep` (O(n·tables) work and O(n) output).
     """
-    if n_chunks is None:
-        n_chunks = max_hamming + 1
-    if n_chunks < max_hamming + 1:
-        raise ValueError(
-            f"n_chunks={n_chunks} cannot guarantee recall at "
-            f"max_hamming={max_hamming}; pigeonhole needs >= max_hamming+1 "
-            "chunks"
-        )
-    if n_chunks > 64:
-        raise ValueError("n_chunks cannot exceed the 64 signature bits")
-    sigs = simhash_signatures(df, id_col, text_col, 64, seed)
-    chunks = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("ckey"),
-                    )
-                    for ci, (off, w) in enumerate(_chunk_slices(64, n_chunks))
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", "c.chunk", "c.ckey")
-    a = chunks.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"),
-        "chunk", "ckey",
-    )
-    b = chunks.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"),
-        "chunk", "ckey",
+    cands = simhash_candidate_pairs(
+        df, id_col, text_col, max_hamming, seed, n_chunks, combine,
+        allow_weak_keys,
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, ["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        cands.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    seed: int = 42,
+    n_chunks: Optional[int] = None,
+    combine: Optional[int] = None,
+    allow_weak_keys: bool = False,
+) -> DataFrame:
+    """Greedy SimHash dedup keep-list ``(id)`` — the production radius-8 shape.
+
+    A document is DROPPED iff some compound-chunk bucket it occupies has a
+    smaller-id member whose VERIFIED Hamming distance is ≤ max_hamming.
+    Verification touches only (row, bucket-min) pairs — O(n·tables) work and
+    O(n) output no matter how duplicate-dense the corpus is, unlike the pair
+    enumeration (quadratic output by definition).  Greedy like
+    :func:`lsh_dedup_keep`: chains are possible, and a doc whose bucket min
+    is far but whose non-min bucket-mate is near is conservatively KEPT
+    (recall of the drop decision trades against never verifying all pairs).
+    """
+    n_chunks, combine = simhash_table_params(
+        max_hamming, n_chunks, combine, allow_weak_keys
+    )
+    sigs = simhash_signatures(df, id_col, text_col, 64, seed)
+    buckets = _simhash_tables(sigs, n_chunks, combine)
+    mins = buckets.groupBy("tbl", "ckey").agg(
+        F.min("id").alias("_min_id"),
+        F.min_by("simhash", "id").alias("_min_sig"),
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("_min_sig")))
+    dropped = (
+        buckets.join(mins, ["tbl", "ckey"])
+        .filter(F.col("id") > F.col("_min_id"))
+        .filter(ham <= max_hamming)
+        .select("id")
         .distinct()
     )
+    return df.select(F.col(id_col).alias("id")).join(dropped, "id", "left_anti")
 
 
 def portable_simhash_signatures(
@@ -472,6 +667,11 @@ def portable_simhash_dup_pairs(
             f"n_chunks={n_chunks} cannot guarantee recall at "
             f"max_hamming={max_hamming}"
         )
+    if n_chunks > 64:
+        # same guard as the non-portable twin: >64 chunks would yield
+        # zero-width slices whose empty-string keys bucket EVERY document
+        # together — a silent full cross join instead of an error
+        raise ValueError("n_chunks cannot exceed the 64 signature bits")
     sigs = portable_simhash_signatures(df, id_col, text_col, seed)
     chunks = sigs.select(
         "id",
@@ -509,6 +709,65 @@ def portable_simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def portable_simhash_dedup_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_chunks: Optional[int] = None,
+) -> DataFrame:
+    """Oracle-portable twin of :func:`simhash_dedup_keep` (md5 bit strings,
+    single-chunk keys): drop iff some chunk bucket's smallest-id member is
+    within Hamming ≤ max_hamming — reproducible byte-for-byte in any SQL
+    engine (arg_min + per-character compares)."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            f"n_chunks={n_chunks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}"
+        )
+    if n_chunks > 64:
+        raise ValueError("n_chunks cannot exceed the 64 signature bits")
+    sigs = portable_simhash_signatures(df, id_col, text_col, seed)
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.substring(F.col("sig"), off + 1, w).alias("ckey"),
+                    )
+                    for ci, (off, w) in enumerate(_chunk_slices(64, n_chunks))
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk", "c.ckey")
+    mins = chunks.groupBy("chunk", "ckey").agg(
+        F.min("id").alias("_min_id"),
+        F.min_by("sig", "id").alias("_min_sig"),
+    )
+    ham = sum(
+        F.when(
+            F.substring(F.col("sig"), b + 1, 1)
+            != F.substring(F.col("_min_sig"), b + 1, 1),
+            1,
+        ).otherwise(0)
+        for b in range(64)
+    )
+    dropped = (
+        chunks.join(mins, ["chunk", "ckey"])
+        .filter(F.col("id") > F.col("_min_id"))
+        .filter(ham <= max_hamming)
+        .select("id")
+        .distinct()
+    )
+    return df.select(F.col(id_col).alias("id")).join(dropped, "id", "left_anti")
 
 
 # ---------------------------------------------------------------------------

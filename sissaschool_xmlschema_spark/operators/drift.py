@@ -54,7 +54,11 @@ def bucketize(
         lo_c, hi_c = F.col("_lo"), F.col("_hi")
     else:
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
-    width = (hi_c - lo_c) / F.lit(float(n_buckets))
+    # degenerate lo == hi (constant column) → zero width → DIVIDE_BY_ZERO
+    # under ANSI mode; clamp so every value lands in bucket 0 instead
+    width = F.greatest(
+        (hi_c - lo_c) / F.lit(float(n_buckets)), F.lit(1e-300)
+    )
     raw = F.floor((F.col("v") - lo_c) / width)
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
     return (
@@ -209,7 +213,8 @@ def tagged_drift_report(
         row = src.filter(~F.col("_cur")).agg(F.min("v"), F.max("v")).first()
         lo = row[0] if lo is None else lo
         hi = row[1] if hi is None else hi
-    width = (float(hi) - float(lo)) / float(n_buckets)
+    # constant-column guard: zero width would divide by zero under ANSI mode
+    width = ((float(hi) - float(lo)) / float(n_buckets)) or 1e-300
     bucket = F.least(
         F.greatest(F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),
                    F.lit(0)),
@@ -233,7 +238,7 @@ def tagged_drift_report(
     # KS: one groupBy with conditional counts, then the ordered cumulative
     # window — over ks_bins buckets (scale path) or distinct values (exact)
     if ks_bins:
-        kwidth = (float(hi) - float(lo)) / float(ks_bins)
+        kwidth = ((float(hi) - float(lo)) / float(ks_bins)) or 1e-300
         kbucket = F.least(
             F.greatest(
                 F.floor((F.col("v") - F.lit(float(lo))) / F.lit(kwidth)),

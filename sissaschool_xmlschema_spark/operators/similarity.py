@@ -147,6 +147,18 @@ def hyperplane_buckets(
     )
 
 
+def probe_buckets(qb: int, n_planes: int, multiprobe: bool) -> list[int]:
+    """The bucket ids a query scans: its own, plus (with ``multiprobe``) every
+    single-bit-flip neighbour — the standard multiprobe-LSH ring-1 probe set
+    (Lv et al., VLDB'07): a near neighbour that landed on the wrong side of
+    exactly one hyperplane is recovered at the cost of ≤ n_planes extra
+    bucket filters, all still partition-pruning-friendly."""
+    probes = [qb]
+    if multiprobe:
+        probes += [qb ^ (1 << p) for p in range(n_planes)]
+    return probes
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -156,21 +168,25 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     planes: list | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's hyperplane bucket.
+    """Approximate top-k: score only rows in the query's probe bucket(s).
 
-    Recall can be raised by probing neighbouring buckets (flip one bit) —
-    multiprobe is a union of ≤ n_planes additional bucket filters, still
-    pruning-friendly.
+    ``multiprobe=True`` additionally probes every single-bit-flip neighbour
+    bucket (see :func:`probe_buckets`): recall strictly dominates the
+    single-bucket scan at equal n_planes, while the scanned fraction stays
+    ~(1 + n_planes)/2^n_planes of the table — at 100 TB each probe is a
+    partition-pruned file scan, not a shuffle.
     """
     dim = len(query)
     qb = query_bucket(df.sparkSession, query, n_planes, seed, planes)
+    probes = probe_buckets(qb, n_planes, multiprobe)
     buckets = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed,
                                  planes)
     candidates = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .join(buckets, F.col("_id") == F.col("id"))
-        .filter(F.col("bucket") == F.lit(qb))
+        .filter(F.col("bucket").isin(probes))
         .select("_id", "_vec")
     )
     scores = cosine_scores(candidates, "_id", "_vec", query)

@@ -26,6 +26,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _quantile_suffix(qv: float) -> str:
+    """Collision-free quantile alias: the full decimal, not a rounded percent
+    (0.999 → 'p99_9', 0.95 → 'p95'; int(round(qv*100)) mapped 0.999 and 1.0
+    both to p100)."""
+    pct = format(round(qv * 100, 6), "g")
+    return "p" + pct.replace(".", "_").replace("-", "m")
+
+
 def _stat_aggs(
     df: DataFrame,
     numeric_cols: Sequence[str],
@@ -53,11 +61,17 @@ def _stat_aggs(
                 q = F.percentile(F.col(c), F.lit(qs))
             else:
                 q = F.percentile_approx(F.col(c), F.lit(qs), F.lit(10000))
-            # flattened to one scalar column per quantile (p50, p95, ...):
-            # downstream sinks and canonicalizers expect hashable scalars,
-            # not array cells
-            for i, qv in enumerate(qs):
-                aggs.append(q[i].alias(f"{c}_p{int(round(qv * 100))}"))
+            # flattened to one scalar column per quantile (p50, p95, p99_9,
+            # ...): downstream sinks and canonicalizers expect hashable
+            # scalars, not array cells
+            suffixes = [_quantile_suffix(qv) for qv in qs]
+            if len(set(suffixes)) != len(suffixes):
+                raise ValueError(
+                    f"quantiles {list(qs)} produce duplicate column aliases "
+                    f"{suffixes}"
+                )
+            for i, suffix in enumerate(suffixes):
+                aggs.append(q[i].alias(f"{c}_{suffix}"))
     for c in string_cols:
         aggs.append(F.min(F.length(c)).alias(f"{c}_minlen"))
         aggs.append(F.max(F.length(c)).alias(f"{c}_maxlen"))

@@ -19,19 +19,35 @@ layouts that carry the same physical properties:
   PLANS.md — and ``run_checkpointed(partition_expr="days(ts)")`` prunes each
   partition's scan to its own files.
 
-``read_table`` resolves in order: explicit ``format='iceberg'`` → catalog
-table name → parquet path.  ``incremental_source`` gives the streaming
-reader used by ``run_incremental``; on Iceberg it maps to snapshot-range
-micro-batches (``stream-from-timestamp``), on files to the file-source
-stream the sandbox tests exercise.
+``read_table`` routes by EXPLICIT format first, then URI shape (never by
+driver-local filesystem probing alone: ``os.path.exists`` is false for every
+remote URI, which round 2 used as the Iceberg-vs-parquet discriminator and
+thereby misrouted ``s3://...`` parquet paths on Iceberg-enabled runtimes).
+Resolution order:
+
+* explicit ``fmt`` wins;
+* a remote URI (``s3://``, ``hdfs://``, ...) REQUIRES an explicit ``fmt`` —
+  the driver cannot see the remote filesystem, so guessing is a silent
+  misroute;
+* a local path (bare or ``file://``) is parquet;
+* a bare table identifier (no slashes) is an Iceberg catalog table when the
+  runtime has Iceberg, else a catalog ``spark.table`` read.
+
+``incremental_source`` gives the streaming reader used by
+``run_incremental``; on Iceberg it maps to snapshot-range micro-batches
+(``stream-from-timestamp``), on files to the file-source stream the sandbox
+tests exercise.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: URI schemes that mean "local driver-visible filesystem".
+_LOCAL_SCHEMES = ("file",)
 
 
 def has_iceberg(spark: SparkSession) -> bool:
@@ -45,6 +61,63 @@ def has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
+def _uri_scheme(source: str) -> Optional[str]:
+    """Scheme of a URI-shaped source ('s3', 'hdfs', 'file', ...); None for
+    plain paths and table identifiers."""
+    if "://" not in source:
+        return None
+    return source.split("://", 1)[0].lower()
+
+
+def resolve_format(
+    source: str, fmt: Optional[str], iceberg_available: bool
+) -> str:
+    """Pure routing decision: ``'iceberg'`` | ``'parquet'`` | ``'table'``.
+
+    Separated from the readers so the Iceberg-enabled branches have shape
+    coverage in a sandbox without the runtime jar (see
+    tests/test_schema_api.py) and so remote URIs are never routed by
+    driver-local ``os.path.exists`` (always false remotely).
+    """
+    if fmt is not None:
+        return fmt
+    scheme = _uri_scheme(source)
+    if scheme in _LOCAL_SCHEMES:
+        return "parquet"
+    if scheme is not None:
+        raise ValueError(
+            f"remote URI {source!r} needs an explicit fmt= ('parquet' or "
+            "'iceberg'): the driver cannot probe the remote filesystem to "
+            "guess"
+        )
+    if "/" in source or os.path.exists(source):
+        # a path-shaped source on the driver-local filesystem
+        return "parquet"
+    # bare identifier → catalog table
+    return "iceberg" if iceberg_available else "table"
+
+
+def iceberg_read_options(snapshot_id: Optional[int] = None) -> Dict[str, str]:
+    """Batch-read options for the Iceberg source (pure, unit-testable).
+
+    Pinning ``snapshot-id`` is what makes a checkpointed validation run's
+    lineage reproducible."""
+    opts: Dict[str, str] = {}
+    if snapshot_id is not None:
+        opts["snapshot-id"] = str(snapshot_id)
+    return opts
+
+
+def iceberg_stream_options(
+    from_timestamp_ms: Optional[int] = None,
+) -> Dict[str, str]:
+    """Streaming-read options for the Iceberg source (pure, unit-testable)."""
+    opts: Dict[str, str] = {}
+    if from_timestamp_ms is not None:
+        opts["stream-from-timestamp"] = str(from_timestamp_ms)
+    return opts
+
+
 def read_table(
     spark: SparkSession,
     source: str,
@@ -53,22 +126,24 @@ def read_table(
 ) -> DataFrame:
     """Load the transcripts table from whatever the deployment provides.
 
-    * ``fmt='iceberg'`` (or auto-detected catalog table on an
-      Iceberg-enabled runtime): catalog read, optionally time-travel pinned
-      to ``snapshot_id`` — pinning the snapshot is what makes a
-      checkpointed validation run's lineage reproducible.
-    * otherwise: catalog table if the name resolves, else a parquet path.
+    * ``fmt='iceberg'`` (or a bare catalog identifier on an Iceberg-enabled
+      runtime): catalog read, optionally time-travel pinned to
+      ``snapshot_id``.
+    * ``fmt='parquet'`` / local path: parquet scan.
+    * bare identifier without Iceberg: catalog ``spark.table``.
     """
-    if fmt == "iceberg" or (fmt is None and has_iceberg(spark)
-                            and not os.path.exists(source)):
+    resolved = resolve_format(source, fmt, has_iceberg(spark))
+    if resolved == "iceberg":
         reader = spark.read.format("iceberg")
-        if snapshot_id is not None:
-            reader = reader.option("snapshot-id", str(snapshot_id))
+        for key, val in iceberg_read_options(snapshot_id).items():
+            reader = reader.option(key, val)
         return reader.load(source)
     if snapshot_id is not None:
         raise ValueError("snapshot pinning requires an Iceberg runtime")
-    if not os.path.exists(source):
+    if resolved == "table":
         return spark.table(source)
+    if resolved != "parquet":
+        raise ValueError(f"unsupported fmt {resolved!r}")
     return spark.read.parquet(source)
 
 
@@ -78,6 +153,7 @@ def incremental_source(
     schema: Optional[str] = None,
     max_files_per_trigger: Optional[int] = None,
     from_timestamp_ms: Optional[int] = None,
+    fmt: Optional[str] = None,
 ):
     """Streaming reader for :func:`streaming.incremental.run_incremental`.
 
@@ -88,13 +164,17 @@ def incremental_source(
     (one micro-batch per new file batch), which is what the sandbox tests
     drive.
     """
-    if has_iceberg(spark) and not os.path.exists(source):
+    resolved = resolve_format(source, fmt, has_iceberg(spark))
+    if resolved == "iceberg":
         reader = spark.readStream.format("iceberg")
-        if from_timestamp_ms is not None:
-            reader = reader.option(
-                "stream-from-timestamp", str(from_timestamp_ms)
-            )
+        for key, val in iceberg_stream_options(from_timestamp_ms).items():
+            reader = reader.option(key, val)
         return reader.load(source)
+    if resolved == "table":
+        raise ValueError(
+            "streaming from a catalog table requires an Iceberg runtime; "
+            "point incremental_source at a file directory instead"
+        )
     reader = spark.readStream
     if schema is None:
         schema = spark.read.parquet(source).schema.simpleString()[7:-1]

@@ -259,3 +259,217 @@ def test_lsh_dedup_keep_output_is_linear(spark, docs):
     assert 1 in keep and 3 not in keep and 5 not in keep
     # the lone unrelated doc always survives
     assert 4 in keep
+
+
+def test_simhash_radius_zero_exact_dups(spark, docs):
+    """max_hamming=0 → one 64-bit chunk (the w==64 mask must not overflow
+    LongType): pairs are exactly the identical-signature pairs."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=0
+        ).collect()
+    }
+    # 1, 3, 5 share the token multiset → identical signatures
+    assert pairs == {(1, 3), (1, 5), (3, 5)}
+
+
+def test_simhash_combined_chunks_same_pair_set(spark):
+    """The combined-chunk (Manku-style) tables are a pure candidate-economics
+    change: at equal max_hamming the verified pair set is IDENTICAL to the
+    single-chunk scheme (both have exact pigeonhole recall)."""
+    base = [f"tok{i}" for i in range(150)]
+    rows = []
+    for d in range(30):
+        toks = list(base)
+        for j in range(d):
+            toks[j * 7 % 150] = f"ed{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    single = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(
+            df, "doc_id", "text", max_hamming=8,
+            n_chunks=9, combine=1, allow_weak_keys=True,
+        ).collect()
+    }
+    combined = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(
+            df, "doc_id", "text", max_hamming=8,  # default: c=10, combine=2
+        ).collect()
+    }
+    assert single, "fixture must produce pairs"
+    assert combined == single
+
+
+def test_simhash_candidate_economics(spark):
+    """Candidate volume is governed by compound-key width, not n²: on a
+    random (duplicate-free) corpus the 12.8-bit combined keys admit several
+    times fewer candidates than the 7-bit single-chunk keys the round-2
+    verdict flagged — and stay within a small multiple of n·tables."""
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    weak = dedup.simhash_candidate_pairs(
+        df, "doc_id", "text", max_hamming=8,
+        n_chunks=9, combine=1, allow_weak_keys=True,
+    ).count()
+    strong = dedup.simhash_candidate_pairs(
+        df, "doc_id", "text", max_hamming=8,  # default c=10, combine=2
+    ).count()
+    # expected random collisions: n²/2 · tables / 2^width
+    # weak: 80k · 9/2^7.1 ≈ 5.2k;  strong: 80k · 45/2^12.8 ≈ 0.5k
+    assert strong < weak / 4
+    assert strong < 400 * 45 // 4  # ≪ n·tables, nowhere near n²/2 = 80k
+
+
+def test_simhash_economics_guard(spark, docs):
+    """Sub-12-bit compound keys require explicit opt-in; defaults above the
+    combine=3 ladder raise instead of silently going quadratic."""
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup.simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=8, n_chunks=9, combine=1
+        )
+    with pytest.raises(ValueError, match="no default table scheme"):
+        dedup.simhash_table_params(max_hamming=20)
+    with pytest.raises(ValueError):
+        dedup.portable_simhash_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3, n_chunks=70
+        )
+    with pytest.raises(ValueError):
+        dedup.portable_simhash_dedup_keep(
+            docs, "doc_id", "text", max_hamming=3, n_chunks=70
+        )
+
+
+def test_simhash_dedup_keep(spark, docs):
+    """Keep-list: identical-signature docs collapse to the smallest id; the
+    unrelated doc survives; both hash flavors agree on this corpus."""
+    keep = {
+        r["id"]
+        for r in dedup.simhash_dedup_keep(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert 1 in keep and 3 not in keep and 5 not in keep
+    assert 4 in keep
+    pkeep = {
+        r["id"]
+        for r in dedup.portable_simhash_dedup_keep(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert 1 in pkeep and 3 not in pkeep and 5 not in pkeep and 4 in pkeep
+
+
+def test_lsh_dedup_keep_exact_components_vs_union_find(spark):
+    """Component mode must match a pure-Python union-find over the SAME band
+    buckets (one representative — the min id — per connected component), and
+    be a subset of the greedy keep-list (components only merge further)."""
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(docs_df, "doc_id", "text", 24, True, 42)
+    buckets = dedup.band_buckets(sigs, 24, 8).collect()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_bucket: dict = {}
+    for r in buckets:
+        parent.setdefault(r["id"], r["id"])
+        by_bucket.setdefault((r["band"], r["bkey"]), []).append(r["id"])
+    for ids in by_bucket.values():
+        for other in ids[1:]:
+            union(ids[0], other)
+    expected = {i for i in parent if find(i) == i}
+
+    cc_keep = {
+        r["id"]
+        for r in dedup.lsh_dedup_keep(
+            docs_df, "doc_id", "text", k=24, bands=8, portable=True,
+            exact_components=True,
+        ).collect()
+    }
+    assert cc_keep == expected
+    greedy_keep = {
+        r["id"]
+        for r in dedup.lsh_dedup_keep(
+            docs_df, "doc_id", "text", k=24, bands=8, portable=True
+        ).collect()
+    }
+    assert cc_keep <= greedy_keep
+
+
+def test_lsh_dedup_keep_chain_collapses_in_component_mode(spark):
+    """A transitive chain a~b~c where a and c never share a bucket: greedy
+    can keep both ends; component mode keeps exactly one doc."""
+    # identical token sets guarantee identical signatures (full-band links);
+    # the chain is built through b sharing half its bands with each end via
+    # crafted near-identical sets is flaky, so use guaranteed links: a==b
+    # and b==c is a~c directly. Instead verify the INVARIANT on a corpus
+    # with real chains: every component keeps exactly one doc.
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keep = dedup.lsh_dedup_keep(
+        docs_df, "doc_id", "text", k=24, bands=8, portable=True,
+        exact_components=True,
+    )
+    sigs = dedup.minhash_signatures(docs_df, "doc_id", "text", 24, True, 42)
+    pairs = dedup.lsh_candidate_pairs(sigs, 24, 8)
+    # no two kept docs may be LSH candidates of each other (they'd be in
+    # the same component), which greedy does NOT guarantee under chains
+    k1 = keep.select(F.col("id").alias("id_a"))
+    k2 = keep.select(F.col("id").alias("id_b"))
+    both_kept = pairs.join(k1, "id_a").join(k2, "id_b").count()
+    assert both_kept == 0
+
+
+def test_lsh_topk_multiprobe_dominates_single_bucket(spark):
+    """Multiprobe scans the query bucket plus all 1-bit-flip neighbours:
+    candidates are a strict superset, so recall@k vs brute force can only
+    improve; with enough planes the flip buckets are non-empty."""
+    from sissaschool_xmlschema_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_buckets,
+        lsh_topk,
+        portable_planes,
+        probe_buckets,
+        query_bucket,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    query = rows[5][1]
+    planes = portable_planes(4, 8)
+    exact = [r["id"] for r in cosine_topk(df, "id", "v", query, 10).collect()]
+    single = {r["id"] for r in lsh_topk(
+        df, "id", "v", query, k=10, n_planes=4, planes=planes).collect()}
+    multi = {r["id"] for r in lsh_topk(
+        df, "id", "v", query, k=10, n_planes=4, planes=planes,
+        multiprobe=True).collect()}
+    recall_single = len(single & set(exact)) / 10
+    recall_multi = len(multi & set(exact)) / 10
+    assert recall_multi >= recall_single
+    # the probe set really is bigger: candidate counts from the buckets
+    qb = query_bucket(spark, query, 4, planes=planes)
+    probes = probe_buckets(qb, 4, True)
+    assert probes[0] == qb and len(probes) == 5
+    buckets = hyperplane_buckets(df, "id", "v", 4, 8, planes=planes)
+    n_single = buckets.filter(F.col("bucket") == qb).count()
+    n_multi = buckets.filter(F.col("bucket").isin(probes)).count()
+    assert n_multi > n_single

@@ -193,3 +193,55 @@ def test_incremental_source_file_fallback(spark, tmp_path):
     stream = tables.incremental_source(spark, p + "/*",
                                        schema="conv_id string, turn_idx int")
     assert stream.isStreaming
+
+
+def test_resolve_format_routing():
+    """Format routing is by explicit fmt and URI shape — NEVER by driver-
+    local os.path.exists on a remote URI (round-2 advice: s3:// paths were
+    misrouted to the Iceberg reader on Iceberg-enabled runtimes)."""
+    from sissaschool_xmlschema_spark.sources.tables import resolve_format
+
+    # explicit fmt always wins
+    assert resolve_format("s3://bkt/p", "parquet", True) == "parquet"
+    assert resolve_format("s3://bkt/p", "iceberg", False) == "iceberg"
+    # remote URIs require fmt — guessing from the driver is a misroute
+    for uri in ("s3://bkt/p", "s3a://bkt/p", "hdfs://nn/p", "abfs://c@a/p"):
+        with pytest.raises(ValueError, match="explicit fmt"):
+            resolve_format(uri, None, True)
+        with pytest.raises(ValueError, match="explicit fmt"):
+            resolve_format(uri, None, False)
+    # local paths (bare or file://) are parquet regardless of Iceberg
+    assert resolve_format("/data/t.parquet", None, True) == "parquet"
+    assert resolve_format("file:///data/t", None, True) == "parquet"
+    assert resolve_format("rel/path", None, False) == "parquet"
+    # bare identifiers are catalog tables: Iceberg when available
+    assert resolve_format("db.transcripts", None, True) == "iceberg"
+    assert resolve_format("db.transcripts", None, False) == "table"
+
+
+def test_iceberg_reader_option_shape():
+    """The Iceberg branches cannot execute in this sandbox (no runtime jar);
+    assert the reader options they would assemble — snapshot pinning and
+    stream-from-timestamp — as plain dicts (round-2 verdict item 8)."""
+    from sissaschool_xmlschema_spark.sources.tables import (
+        iceberg_read_options,
+        iceberg_stream_options,
+    )
+
+    assert iceberg_read_options() == {}
+    assert iceberg_read_options(snapshot_id=123456789) == {
+        "snapshot-id": "123456789"
+    }
+    assert iceberg_stream_options() == {}
+    assert iceberg_stream_options(from_timestamp_ms=1700000000000) == {
+        "stream-from-timestamp": "1700000000000"
+    }
+
+
+def test_read_table_remote_uri_requires_fmt(spark):
+    from sissaschool_xmlschema_spark.sources import tables
+
+    with pytest.raises(ValueError, match="explicit fmt"):
+        tables.read_table(spark, "s3://bucket/transcripts")
+    with pytest.raises(ValueError, match="explicit fmt"):
+        tables.incremental_source(spark, "hdfs://nn/transcripts")

@@ -1,5 +1,6 @@
 """Single-pass stats and drift operators (north-star §2.4 additions)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from sissaschool_xmlschema_spark.operators import drift, stats
@@ -74,3 +75,26 @@ def test_drift_on_timestamp_column(spark):
     rep = drift.drift_report(df, df, "ts", n_buckets=5)
     row = rep.first()
     assert abs(row["psi"]) < 1e-9 and row["ks"] == 0.0
+
+
+def test_quantile_alias_no_collision(spark):
+    """0.999 and 1.0 must not both alias to p100 (round-2 advice): suffixes
+    come from the full decimal, and duplicates raise."""
+    from sissaschool_xmlschema_spark.operators.stats import (
+        _quantile_suffix,
+        column_stats,
+    )
+
+    assert _quantile_suffix(0.5) == "p50"
+    assert _quantile_suffix(0.95) == "p95"
+    assert _quantile_suffix(0.999) == "p99_9"
+    assert _quantile_suffix(1.0) == "p100"
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    out = column_stats(df, numeric_cols=["x"], exact=True,
+                       quantiles=(0.95, 0.999, 1.0))
+    assert {"x_p95", "x_p99_9", "x_p100"} <= set(out.columns)
+    row = out.first()
+    assert row["x_p100"] == 99.0
+    with pytest.raises(ValueError, match="duplicate"):
+        column_stats(df, numeric_cols=["x"], exact=True,
+                     quantiles=(0.95, 0.94999999999))
