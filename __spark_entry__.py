@@ -531,6 +531,21 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_lang_id_model(spark, sf_dir):
+    """N-gram-profile language ID (functions/lang_model.py): the batched
+    mapInPandas kernel with a broadcast 20-language seed model — the
+    production LID slot (rows-only: kernel scoring is not SQL-expressible).
+    Returns the (lang, lang_pred, n) confusion counts like q_lang_id."""
+    from sissaschool_xmlschema_spark.functions.lang_model import lang_id_model
+
+    docs = _docs(spark, sf_dir).select("lang", "text")
+    scored = lang_id_model(docs, "text")
+    return (
+        scored.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Portable content fingerprints (md5) per document."""
     return _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
@@ -885,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
+        "lang_id_model": q_lang_id_model,
         "doc_fingerprints": q_doc_fingerprints,
         "json_props": q_json_props,
         "last_turn_user": q_last_turn_user,

@@ -270,6 +270,30 @@ def tagged_drift_report(
     )
 
 
+def ks_from_histograms(
+    current_hist: DataFrame, baseline_hist: DataFrame
+) -> DataFrame:
+    """KS over two pre-computed ``(bucket, n)`` histograms — one ordered
+    cumulative window over ≤ n_buckets rows (the only all-to-one step)."""
+    a = current_hist.select("bucket", F.col("n").alias("n_a"))
+    b = baseline_hist.select("bucket", F.col("n").alias("n_b"))
+    merged = a.join(b, "bucket", "full_outer").select(
+        F.col("bucket"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    totals = merged.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    cdf = merged.select(
+        F.sum("n_a").over(w).alias("c_a"),
+        F.sum("n_b").over(w).alias("c_b"),
+    ).crossJoin(F.broadcast(totals))
+    return cdf.agg(
+        F.max(F.abs(F.col("c_a") / F.col("t_a")
+                    - F.col("c_b") / F.col("t_b"))).alias("ks")
+    )
+
+
 def ks_statistic_binned(
     current: DataFrame,
     baseline: DataFrame,
@@ -292,20 +316,94 @@ def ks_statistic_binned(
         ).first()
         lo = row[0] if lo is None else lo
         hi = row[1] if hi is None else hi
-    a = bucketize(current, col, n_buckets, lo, hi).withColumnRenamed("n", "n_a")
-    b = bucketize(baseline, col, n_buckets, lo, hi).withColumnRenamed("n", "n_b")
-    merged = a.join(b, "bucket", "full_outer").select(
-        F.col("bucket"),
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    a = bucketize(current, col, n_buckets, lo, hi)
+    b = bucketize(baseline, col, n_buckets, lo, hi)
+    return ks_from_histograms(a, b)
+
+
+# ---------------------------------------------------------------------------
+# baseline snapshot store (the compile-once schema analogue: persist the
+# reference distribution once, reuse it across validation runs —
+# xsd_globals.py:537-578 builds maps once and every validation reuses them)
+# ---------------------------------------------------------------------------
+
+
+def save_baseline(
+    df: DataFrame,
+    col: str,
+    path: str,
+    n_buckets: int = 10,
+    ks_bins: int = 10_000,
+    lineage: str = "",
+) -> None:
+    """Persist a drift baseline snapshot for ``col`` under ``path``.
+
+    Layout (all parquet, so the store works on any Hadoop filesystem):
+
+    * ``meta``     — one row: column, lo, hi, n_buckets, ks_bins, n_rows,
+      lineage (free-form provenance, e.g. the Iceberg snapshot-id the
+      baseline was computed from — same role as the checkpoint manifest's
+      ``input_lineage``).
+    * ``psi_hist`` — the coarse ``(bucket, n)`` histogram PSI compares on.
+    * ``ks_hist``  — the fine histogram the binned KS compares on.
+
+    The bounds are frozen at save time: future runs bucketize their data
+    with the SAME lo/hi, which is what makes histograms comparable across
+    runs (two independently-bounded histograms are not).
+    """
+    spark = df.sparkSession
+    src = df.select(_as_double(df, col).alias("v")).where(
+        F.col("v").isNotNull()
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    totals = merged.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
-    cdf = merged.select(
-        F.sum("n_a").over(w).alias("c_a"),
-        F.sum("n_b").over(w).alias("c_b"),
-    ).crossJoin(F.broadcast(totals))
-    return cdf.agg(
-        F.max(F.abs(F.col("c_a") / F.col("t_a")
-                    - F.col("c_b") / F.col("t_b"))).alias("ks")
+    row = src.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError(f"cannot snapshot {col!r}: no non-null values")
+    lo, hi, n_rows = float(row["lo"]), float(row["hi"]), int(row["n"])
+    meta = spark.createDataFrame(
+        [(col, lo, hi, n_buckets, ks_bins, n_rows, lineage)],
+        "column string, lo double, hi double, n_buckets int, ks_bins int, "
+        "n_rows long, lineage string",
     )
+    bucketize(df, col, n_buckets, lo, hi).write.mode("overwrite").parquet(
+        f"{path}/psi_hist"
+    )
+    bucketize(df, col, ks_bins, lo, hi).write.mode("overwrite").parquet(
+        f"{path}/ks_hist"
+    )
+    # meta last: its presence marks the snapshot complete (a crashed save
+    # leaves no meta and load_baseline fails loudly)
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_baseline(spark, path: str):
+    """Load a snapshot written by :func:`save_baseline`; returns
+    ``(meta_row, psi_hist_df, ks_hist_df)``."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    psi_hist = spark.read.parquet(f"{path}/psi_hist")
+    ks_hist = spark.read.parquet(f"{path}/ks_hist")
+    return meta, psi_hist, ks_hist
+
+
+def drift_report_vs_snapshot(
+    current: DataFrame, path: str, col: Optional[str] = None
+) -> DataFrame:
+    """One-row ``(column, psi, ks)`` of ``current`` against a stored snapshot
+    — same numbers as :func:`drift_report` against the original baseline
+    DataFrame, without rescanning the baseline data.
+
+    The current table is bucketized with the snapshot's frozen bounds and
+    bucket counts; only the current side is scanned (the baseline side is
+    the ≤ ks_bins-row stored histogram).
+    """
+    spark = current.sparkSession
+    meta, psi_hist, ks_hist = load_baseline(spark, path)
+    col = col or meta["column"]
+    cur_psi = bucketize(current, col, meta["n_buckets"], meta["lo"],
+                        meta["hi"])
+    cur_ks = bucketize(current, col, meta["ks_bins"], meta["lo"], meta["hi"])
+    p = psi(cur_psi, psi_hist, meta["n_buckets"])
+    k = ks_from_histograms(cur_ks, ks_hist)
+    return p.crossJoin(k).select(F.lit(col).alias("column"), "psi", "ks")

@@ -98,3 +98,40 @@ def test_quantile_alias_no_collision(spark):
     with pytest.raises(ValueError, match="duplicate"):
         column_stats(df, numeric_cols=["x"], exact=True,
                      quantiles=(0.95, 0.94999999999))
+
+
+def test_baseline_snapshot_roundtrip(spark, tmp_path):
+    """save_baseline → drift_report_vs_snapshot gives the SAME psi/ks as the
+    two-DataFrame drift_report, without rescanning the baseline (round-2
+    verdict item 2: the compile-once schema analogue for drift)."""
+    base = spark.createDataFrame(
+        [(float(i % 50),) for i in range(2000)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i % 50) + 8),) for i in range(1500)], "x double"
+    )
+    path = str(tmp_path / "snap")
+    drift.save_baseline(base, "x", path, n_buckets=10, ks_bins=500,
+                        lineage="test-snapshot-v1")
+    direct = drift.drift_report(cur, base, "x", n_buckets=10,
+                                ks_bins=500).first()
+    via_snap = drift.drift_report_vs_snapshot(cur, path).first()
+    assert abs(direct["psi"] - via_snap["psi"]) < 1e-9
+    assert abs(direct["ks"] - via_snap["ks"]) < 1e-9
+    assert via_snap["psi"] > 0.1  # the planted shift is visible
+
+    meta, psi_hist, ks_hist = drift.load_baseline(spark, path)
+    assert meta["column"] == "x"
+    assert meta["n_rows"] == 2000
+    assert meta["lineage"] == "test-snapshot-v1"
+    assert psi_hist.count() <= 10 and ks_hist.count() <= 500
+
+    # identical data vs its own snapshot → no drift
+    self_rep = drift.drift_report_vs_snapshot(base, path).first()
+    assert abs(self_rep["psi"]) < 1e-6 and abs(self_rep["ks"]) < 1e-9
+
+
+def test_baseline_snapshot_empty_column_refused(spark, tmp_path):
+    empty = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null"):
+        drift.save_baseline(empty, "x", str(tmp_path / "s2"))
