@@ -257,7 +257,23 @@ def occurs_violations(
         )
     else:
         counts = df.groupBy(scope).agg(*aggs)
+    return occurs_violations_from_counts(counts, occurs, table, scope)
 
+
+def occurs_violations_from_counts(
+    counts: DataFrame,
+    occurs: Sequence[S.Occurs],
+    table: str,
+    scope: str,
+) -> DataFrame:
+    """Bounds check + violation rows over pre-aggregated per-scope counts
+    (``scope`` + one ``_n_<i>`` column per constraint, in ``occurs`` order).
+
+    Split out so the incremental runner can MERGE per-batch partial counts
+    (a sum — conditional counts are distributive) and reuse the exact same
+    reporting: the cross-batch analogue of the reference's identity-counter
+    merge applied to particle occurrence bounds (particles.py:109-126 +
+    schemas.py:1386-1389)."""
     structs = []
     for i, c in enumerate(occurs):
         n = F.col(f"_n_{i}")

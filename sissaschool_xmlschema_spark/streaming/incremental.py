@@ -17,6 +17,13 @@ schemas.py:1391-1405).  The Spark lowering:
   (schemas.py:1391-1405: still-enabled keyrefs + unresolved IDREFs at
   document end), so a reference seen in batch 1 whose key arrives in batch 5
   resolves, and one that never resolves is reported.
+* **occurrence bounds & verdicts** need the same cross-batch treatment:
+  each micro-batch lands per-scope conditional-count partials under
+  ``occstate/batch=<id>`` (conditional counts are distributive, so the
+  merge is a sum); :meth:`IncrementalResult.occurs_violations` applies the
+  min/maxOccurs bounds AFTER the merge and :meth:`IncrementalResult.verdicts`
+  rolls merged facet + identity + occurrence violations into the
+  per-conversation validity verdict (schemas.py:851-876 analogue).
 * **idempotent sinks**: foreachBatch is at-least-once — every per-batch
   write lands under a ``batch=<id>`` subdirectory with overwrite semantics,
   so a micro-batch retry or crash-restart rewrites its own directory instead
@@ -70,6 +77,7 @@ class IncrementalResult:
     violations_path: str
     keystate_path: str
     refstate_path: str = ""
+    occstate_path: str = ""
 
     def violations(self, spark: SparkSession) -> DataFrame:
         if not os.path.exists(self.violations_path):
@@ -126,6 +134,88 @@ class IncrementalResult:
             refs = refs.join(keys, cond, "left_anti")
         return refs
 
+    def occurs_violations(
+        self, spark: SparkSession, spec: S.TableSpec
+    ) -> DataFrame:
+        """min/maxOccurs over the WHOLE stream: per-batch conditional-count
+        partials merged by sum (distributive), then the shared bounds
+        reporter — a conversation that gets its required user turn only in a
+        later batch is NOT a violation after the merge, and one that never
+        does IS (the particle-bound analogue of the reference's end-of-run
+        counter merge, particles.py:109-126 + schemas.py:1386-1389)."""
+        from sissaschool_xmlschema_spark.operators.sequence import (
+            occurs_violations_from_counts,
+        )
+
+        occurs = [c for c in spec.model if isinstance(c, S.Occurs)]
+        if not occurs or not os.path.exists(self.occstate_path):
+            return spark.createDataFrame([], VIOLATION_SCHEMA)
+        st = spark.read.parquet(self.occstate_path)
+        merged = st.groupBy(spec.scope_col).agg(
+            *[
+                F.sum(f"_n_{i}").alias(f"_n_{i}")
+                for i in range(len(occurs))
+            ]
+        )
+        return occurs_violations_from_counts(
+            merged, occurs, spec.name, spec.scope_col
+        )
+
+    def verdicts(self, spark: SparkSession, spec: S.TableSpec) -> DataFrame:
+        """Per-conversation ``(conv_id, n_violations, validity)`` over the
+        whole stream — merged row-local violations + cross-batch duplicate
+        keys + end-of-stream keyref misses + merged occurrence bounds; the
+        streaming twin of ``ValidationResult.verdicts`` (validity attribute,
+        schemas.py:851-876).  The scope universe comes from the occstate
+        partials, which record every scope each batch touched."""
+        if not os.path.exists(self.occstate_path):
+            return spark.createDataFrame(
+                [], "conv_id string, n_violations long, validity string"
+            )
+        scope = spec.scope_col
+        universe = (
+            spark.read.parquet(self.occstate_path)
+            .select(F.col(scope).cast("string").alias("conv_id"))
+            .distinct()
+        )
+        parts = [
+            self.violations(spark).select(F.col("conv_id").cast("string"))
+        ]
+        parts.append(
+            self.occurs_violations(spark, spec).select(
+                F.col("conv_id").cast("string")
+            )
+        )
+        for c in spec.identities:
+            if isinstance(c, S.Unique) and c.scope == scope:
+                parts.append(
+                    self.duplicate_keys(spark, c).select(
+                        F.col(c.scope).cast("string").alias("conv_id")
+                    )
+                )
+            elif isinstance(c, S.Keyref) and c.scope == scope:
+                parts.append(
+                    self.keyref_misses(spark, c).select(
+                        F.col(c.scope).cast("string").alias("conv_id")
+                    )
+                )
+        viol = parts[0]
+        for p in parts[1:]:
+            viol = viol.unionByName(p)
+        counts = viol.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return (
+            universe.join(counts, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("_n", F.lit(0)).alias("n_violations"),
+                F.when(F.coalesce("_n", F.lit(0)) > 0, "invalid")
+                .otherwise("valid")
+                .alias("validity"),
+            )
+        )
+
 
 def run_incremental(
     spark: SparkSession,
@@ -149,6 +239,7 @@ def run_incremental(
     violations_path = os.path.join(work_dir, "violations")
     keystate_path = os.path.join(work_dir, "keystate")
     refstate_path = os.path.join(work_dir, "refstate")
+    occstate_path = os.path.join(work_dir, "occstate")
     ckpt = os.path.join(work_dir, "_stream_checkpoint")
 
     from sissaschool_xmlschema_spark.sources.tables import incremental_source
@@ -163,6 +254,7 @@ def run_incremental(
     plan = compile_plan(spec)
     uniques = [c for c in spec.identities if isinstance(c, S.Unique)]
     keyrefs = [c for c in spec.identities if isinstance(c, S.Keyref)]
+    occurs = [c for c in spec.model if isinstance(c, S.Occurs)]
     n_batches = 0
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -203,6 +295,16 @@ def run_incremental(
             ks.select(*kcols).dropDuplicates().write.mode(
                 "overwrite"
             ).parquet(os.path.join(refstate_path, c.name, "keys", bdir))
+        # occurrence partials: per-scope conditional counts (+ the row count,
+        # which doubles as the scope universe for verdicts) — sums merge
+        # across batches because conditional counts are distributive
+        occ_aggs = [F.count(F.lit(1)).alias("_rows")] + [
+            F.sum(F.when(F.expr(c.where), 1).otherwise(0)).alias(f"_n_{i}")
+            for i, c in enumerate(occurs)
+        ]
+        batch.groupBy(spec.scope_col).agg(*occ_aggs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(occstate_path, bdir))
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -212,7 +314,8 @@ def run_incremental(
     )
     q.awaitTermination()
     return IncrementalResult(
-        n_batches, violations_path, keystate_path, refstate_path
+        n_batches, violations_path, keystate_path, refstate_path,
+        occstate_path,
     )
 
 
