@@ -641,6 +641,19 @@ def q_embedding_dups(spark, sf_dir):
     return p.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q_embedding_dups_fast(spark, sf_dir):
+    """Embedding near-dup through the PRODUCTION bucket branch: plane
+    components computed on executors from xxhash64(seed, p, j) — no literal
+    arrays in the plan.  Oracle-checkable anyway: functions/xxh64.py
+    replicates Spark's int-literal xxhash64 bit-for-bit (pytest-verified),
+    so the oracle embeds the identical ±1 grid."""
+    p = dedup.bucketed_embedding_dup_pairs(
+        _emb_double(spark, sf_dir), "vec_id", "v",
+        threshold=0.5, n_planes=4, dim=64,  # planes=None → xxhash64 branch
+    )
+    return p.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_decode_failures(spark, sf_dir):
     """Typed decode with cast-failure side channel (schema.decode analogue,
     documents.py:275-299): distinct undecodable lexical forms + multiplicity."""
@@ -908,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_binned": q_ks_binned,
         "stats_docs_by_source": q_stats_docs_by_source,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_fast": q_embedding_dups_fast,
         "decode_failures": q_decode_failures,
         "nillable_events": q_nillable_events,
         "union_decode_members": q_union_decode_members,
@@ -1474,6 +1488,34 @@ b AS (SELECT vec_id, v, {_emb_bucket} AS bucket FROM e)
 
     sql["embedding_dups"] = f"""
 WITH {_emb_cte},
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         list_dot_product(x.v, y.v)
+         / (sqrt(list_dot_product(x.v, x.v))
+            * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.5
+"""
+
+    # production-branch twin: the ±1 grid Spark derives on executors from
+    # xxhash64(seed, p, j) & 1, replicated bit-for-bit by functions/xxh64.py
+    # (pytest cross-checks the replication against F.xxhash64 itself)
+    from sissaschool_xmlschema_spark.functions.xxh64 import xxhash64_planes
+
+    _xplanes = xxhash64_planes(4, 64)
+    _emb_bucket_x = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit(_xplanes[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    sql["embedding_dups_fast"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+b AS (SELECT vec_id, v, {_emb_bucket_x} AS bucket FROM e),
 p AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          list_dot_product(x.v, y.v)

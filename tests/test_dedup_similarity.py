@@ -473,3 +473,45 @@ def test_lsh_topk_multiprobe_dominates_single_bucket(spark):
     n_single = buckets.filter(F.col("bucket") == qb).count()
     n_multi = buckets.filter(F.col("bucket").isin(probes)).count()
     assert n_multi > n_single
+
+
+def test_xxh64_replication_matches_spark(spark):
+    """functions/xxh64.py must reproduce Spark's xxhash64 bit-for-bit over
+    int and long literals — the basis for oracling the PRODUCTION
+    hyperplane-bucket branch (no portable planes in the plan)."""
+    from sissaschool_xmlschema_spark.functions.xxh64 import (
+        _signed,
+        spark_xxhash64_ints,
+        xxh64_long,
+        xxhash64_planes,
+    )
+
+    ints = [0, 1, -1, 42, 7, 1000003, 2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(v,) for v in ints], "a int")
+    got = [r[0] for r in df.select(F.xxhash64("a")).collect()]
+    assert got == [spark_xxhash64_ints([v]) for v in ints]
+
+    triples = [(s, p, j) for s in (42, 7) for p in range(4) for j in range(6)]
+    df3 = spark.createDataFrame(triples, "a int, b int, c int")
+    got3 = [r[0] for r in df3.select(F.xxhash64("a", "b", "c")).collect()]
+    assert got3 == [spark_xxhash64_ints(list(t)) for t in triples]
+
+    longs = [0, 1, -5, 2**40, -(2**63), 2**63 - 1]
+    dfl = spark.createDataFrame([(v,) for v in longs], "a long")
+    gotl = [r[0] for r in dfl.select(F.xxhash64("a")).collect()]
+    assert gotl == [_signed(xxh64_long(v, 42)) for v in longs]
+
+    # the derived plane grid matches the executor-side bucket bits
+    from sissaschool_xmlschema_spark.operators.similarity import (
+        hyperplane_buckets,
+    )
+
+    vecs = [(i, [float((i * 5 + j) % 9) - 4.0 for j in range(8)])
+            for i in range(30)]
+    vdf = spark.createDataFrame(vecs, "id int, v array<double>")
+    prod = {r["id"]: r["bucket"] for r in hyperplane_buckets(
+        vdf, "id", "v", n_planes=3, dim=8).collect()}  # xxhash64 branch
+    lit = {r["id"]: r["bucket"] for r in hyperplane_buckets(
+        vdf, "id", "v", n_planes=3, dim=8,
+        planes=xxhash64_planes(3, 8)).collect()}  # replicated literals
+    assert prod == lit

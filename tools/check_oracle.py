@@ -22,6 +22,49 @@ TABLES = (
     "embeddings"
 ).split()
 
+# Approximate queries cannot hash-match an exact oracle, but they CAN be
+# bounds-checked (round-2 verdict item 7): HLL distinct counts must land
+# within 3·rsd of DuckDB's exact counts, and each approx percentile must lie
+# between the exact quantiles one accuracy step on either side.
+STATS_APPROX_RSD = 0.05  # matches q_stats_approx's column_stats(rsd=...)
+
+
+def check_stats_approx_bounds(sdf, con, cte) -> list:
+    """Bounds problems for the stats_approx query result (empty = pass)."""
+    row = sdf.iloc[0]
+    exact = con.execute(f"""
+WITH t AS ({cte})
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT conv_id) AS conv_id_d,
+       COUNT(DISTINCT role) AS role_d,
+       COUNT(DISTINCT turn_idx) AS turn_idx_d,
+       quantile_disc(turn_idx, 0.40) AS p50_lo,
+       quantile_disc(turn_idx, 0.60) AS p50_hi,
+       quantile_disc(turn_idx, 0.85) AS p95_lo,
+       quantile_disc(turn_idx, 1.00) AS p95_hi
+FROM t
+""").df().iloc[0]
+    problems = []
+    if int(row["n_rows"]) != int(exact["n_rows"]):
+        problems.append(
+            f"n_rows {row['n_rows']} != exact {exact['n_rows']}"
+        )
+    for col, key in (("conv_id_distinct", "conv_id_d"),
+                     ("role_distinct", "role_d"),
+                     ("turn_idx_distinct", "turn_idx_d")):
+        got, ex = float(row[col]), float(exact[key])
+        if abs(got - ex) > 3 * STATS_APPROX_RSD * ex:
+            problems.append(
+                f"{col}={got} outside 3*rsd of exact {ex}"
+            )
+    for col, lo_k, hi_k in (("turn_idx_p50", "p50_lo", "p50_hi"),
+                            ("turn_idx_p95", "p95_lo", "p95_hi")):
+        got = float(row[col])
+        lo, hi = float(exact[lo_k]), float(exact[hi_k])
+        if not (lo <= got <= hi):
+            problems.append(f"{col}={got} outside [{lo}, {hi}]")
+    return problems
+
 
 def normalize(df):
     """Pandas frame → sorted list of tuples with columns sorted by name."""
@@ -85,6 +128,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
+            continue
+        if name == "stats_approx":
+            problems = check_stats_approx_bounds(sdf, con, entry._CTE)
+            if problems:
+                print(f"FAIL  {name}: bounds: " + "; ".join(problems))
+                n_fail += 1
+            else:
+                print(f"ok    {name} (bounds check: HLL within 3*rsd, "
+                      "percentiles inside exact neighbors)")
             continue
         if name not in oracles:
             print(f"skip  {name}: rows-only ({len(sdf)} rows)")
