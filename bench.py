@@ -324,13 +324,17 @@ best-of-reps (noisy shared host), per-process JIT warmup excluded.
 | local[8]  (N)  | {t8:,.0f} | {[f'{v:,.0f}' for v in results[8]]} | {c8/1e6:,.0f}M |
 | local[32] (4N) | {t32:,.0f} | {[f'{v:,.0f}' for v in results[32]]} | {c32/1e6:,.0f}M |
 
-- Raw suite scaling efficiency (throughput_4N / throughput_N) / 4 = **{eff:.2f}**
+- **Raw suite scaling efficiency (throughput_4N / throughput_N) / 4 =
+  {eff:.2f}** — the primary north-rule figure (the rule's criterion as
+  written; target ≥ 0.8).
 - Platform ceiling (same ratio for shared-nothing pure-CPU multiprocessing —
   no JVM, no memory traffic, no I/O): **{ceff:.2f}**
-- **Platform-normalized suite efficiency = {eff:.2f} / {ceff:.2f} = {norm:.2f}**
-  (target ≥ 0.8 per BASELINE.json north rule).
+- Platform-normalized suite efficiency = {eff:.2f} / {ceff:.2f} =
+  **{norm:.2f}** — supporting context quantifying how much of the raw gap
+  the oversubscribed sandbox substrate accounts for; it does not replace
+  the raw criterion.
 
-## Why the normalization is the honest number
+## What the normalization quantifies (supporting context)
 
 The north rule's criterion is throughput scaling from N to 4N **executors** —
 4x machines: 4x cores, 4x memory channels, 4x caches.  This sandbox can only
@@ -338,11 +342,12 @@ vary *threads inside one oversubscribed VM*.  The control experiment shows
 the platform itself delivers only ~{ceff:.2f} efficiency for 4x processes of
 pure arithmetic with zero shared resources — a workload that scales at 1.0
 on any non-oversubscribed machine by construction.  No job running on this
-VM can exceed that ceiling; dividing it out isolates the quantity the rule
-actually tests (does the JOB add serialization, shuffle barriers, or skew
-beyond the substrate?).  The engine's plan adds essentially none: the suite
-is exchange-free on the bucketed layout, so its scaling tracks the platform
-ceiling to within noise.
+VM can exceed that ceiling; dividing it out isolates what the JOB itself
+adds (serialization, shuffle barriers, skew) beyond the substrate.  The
+engine's plan adds essentially none: the suite is exchange-free on the
+bucketed layout, so its scaling tracks the platform ceiling to within
+noise.  The raw number above remains the figure judged against the rule;
+re-proving it on real multi-node hardware is the stated follow-up.
 
 Per-branch evidence (32-core wall, 80M turns, quiet host): row-local facet
 pass 3.4s, single-WindowExec model pass 6.7s, occurrence groupBy 1.4s,
