@@ -177,7 +177,11 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_cosine",
         "text_metrics",
         "simhash_fast",
+        "simhash_keep_fast",
         "minhash_fast",
+        "dedup_keep_cc",
+        "lang_id_model",
+        "lsh_topk_probe",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -181,12 +181,16 @@ def lsh_topk(
     dim = len(query)
     qb = query_bucket(df.sparkSession, query, n_planes, seed, planes)
     probes = probe_buckets(qb, n_planes, multiprobe)
-    buckets = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed,
-                                 planes)
+    # the bucket is a pure row-local expression, so it is computed inline and
+    # filtered in the SAME scan — no self-join, no shuffle; on a
+    # bucket-partitioned 100 TB table this same predicate is partition pruning
     candidates = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .join(buckets, F.col("_id") == F.col("id"))
-        .filter(F.col("bucket").isin(probes))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            bucket_expr(vec_col, n_planes, dim, seed, planes).alias("_b"),
+        )
+        .filter(F.col("_b").isin(probes))
         .select("_id", "_vec")
     )
     scores = cosine_scores(candidates, "_id", "_vec", query)
