@@ -872,6 +872,23 @@ def q_lsh_topk_probe(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k — the data-adaptive ANN tier:
+    8 id-order seed centroids, row-local argmax list assignment, exact
+    cosine over the 2 nearest lists.  Fully oracle-able because both
+    engines derive the SAME centroids from the table (k smallest vec_ids)
+    and evaluate every double in-engine with the same fold order."""
+    emb = _emb_double(spark, sf_dir)
+    q = emb.filter("vec_id = 0").first()["v"]
+    r = similarity.ivf_topk(
+        emb, "vec_id", "v", [float(x) for x in q], k=10, n_lists=8,
+        n_probe=2,
+    )
+    return r.select(
+        F.col("id").alias("vec_id"), F.round("cos", 6).alias("cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -938,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_approx": q_stats_approx,
         "lsh_topk": q_lsh_topk,
         "lsh_topk_probe": q_lsh_topk_probe,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1820,6 +1838,54 @@ SELECT vec_id, ROUND(cos, 6) AS cos FROM (
          / (sqrt(list_dot_product(b.v, b.v))
             * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM b, q WHERE {_probe_cond}
+) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    # IVF: centroids = vectors of the 8 smallest vec_ids (the same id-order
+    # seed rule operators/similarity.py ivf_seed_centroids uses); assignment
+    # argmax on dot(v,c)/|c| with ties -> smallest centroid index (Spark's
+    # array_position picks the FIRST max; row_number ordered sc DESC, cid ASC
+    # is the same rule); probes = 2 best centroids for the query by the same
+    # score.  Every double on both sides comes from the same parquet values
+    # through the same sequential fold, so assignments match bit-for-bit.
+    sql["ivf_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+s AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv))
+           AS sc
+  FROM e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sc DESC, cid ASC) AS rk
+    FROM s
+  ) WHERE rk = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT c.cid
+  FROM c, q
+  ORDER BY list_dot_product(q.qv, c.cv)
+           / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cid ASC
+  LIMIT 2
+)
+SELECT vec_id, ROUND(cos, 6) AS cos FROM (
+  SELECT a.vec_id,
+         list_dot_product(a.v, q.qv)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM assign a JOIN probes USING (cid), q
 ) ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 

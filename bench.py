@@ -182,6 +182,7 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_keep_cc",
         "lang_id_model",
         "lsh_topk_probe",
+        "ivf_topk",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

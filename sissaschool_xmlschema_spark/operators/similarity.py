@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float/double>``).
 
-North-star training-data extension; no reference counterpart.  Two tiers:
+North-star training-data extension; no reference counterpart.  Three tiers:
 
 * **brute force** — cosine against a broadcast query vector, exact top-k.  One
   scan, no shuffle until the final top-k (``orderBy().limit(k)`` lowers to
@@ -10,6 +10,11 @@ North-star training-data extension; no reference counterpart.  Two tiers:
   so queries only scan their own bucket: the scale path.  At 100 TB the bucket
   column becomes the table's partition/bucketing key so a probe prunes to
   matching files.
+* **IVF lists** — k data-derived centroids, every vector assigned to its
+  nearest list (a row-local argmax over k in-plan dot products), queries scan
+  only the ``n_probe`` lists nearest to the query.  Unlike the data-oblivious
+  hyperplanes, IVF adapts to the corpus's density (the standard
+  inverted-file trade: train once, then ~n·n_probe/k rows per probe).
 
 Dot products are ``aggregate(zip_with(...))`` Column expressions — JVM-side,
 no Python.  For very wide vectors a pandas-UDF/numpy batch path could win on
@@ -18,6 +23,7 @@ SIMD, but at 64–1024 dims the expression path avoids Arrow transfer entirely.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -208,3 +214,154 @@ def query_bucket(spark, query: Sequence[float], n_planes: int = 8,
     row = hyperplane_buckets(one, "id", "vec", n_planes, len(query), seed,
                              planes)
     return row.first()["bucket"]
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) lists — the data-adaptive ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> list:
+    """Deterministic seed centroids: the vectors of the ``k`` smallest ids.
+
+    ``orderBy(id).limit(k)`` lowers to TakeOrderedAndProject (per-partition
+    heaps of k rows + driver merge — no global sort), so the collect is
+    bounded by k·dim doubles regardless of table size.  Id-order seeding is
+    reproducible across engines, which is what lets a SQL oracle rebuild the
+    identical centroid set; :func:`ivf_refine` turns these into proper
+    k-means centroids when quality matters more than portability.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} rows to seed centroids")
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _centroid_matrix(centroids: Sequence[Sequence[float]]) -> Column:
+    """The centroid set as one ``array<array<double>>`` literal column."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivf_scores_expr(vec_col: str, centroids: Sequence[Sequence[float]]) -> Column:
+    """Per-centroid scores ``dot(v, c)/|c|`` as one array expression.
+
+    The |v| factor is common to every centroid so the argmax is the cosine
+    argmax without computing it; |c| is evaluated IN-PLAN (not pre-divided on
+    the driver) so an oracle that derives the same centroids from the same
+    table reproduces every double bit-for-bit.
+    """
+    return F.transform(
+        _centroid_matrix(centroids),
+        lambda c: dot(F.col(vec_col), c) / F.sqrt(dot(c, c)),
+    )
+
+
+def ivf_assign_expr(vec_col: str, centroids: Sequence[Sequence[float]]) -> Column:
+    """0-based index of the nearest centroid (ties → smallest index).
+
+    Row-local: k literal dot products and an array argmax inside one
+    whole-stage-codegen span — no shuffle, no Python.  At 100 TB this column
+    is the table's partition key, so a probe is partition pruning.
+    """
+    scores = ivf_scores_expr(vec_col, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+) -> DataFrame:
+    """``(id, list_idx)`` — every vector's inverted-list assignment."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        ivf_assign_expr(vec_col, centroids).alias("list_idx"),
+    )
+
+
+def ivf_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    iters: int = 1,
+) -> list:
+    """Lloyd iterations entirely as DataFrame ops; returns refined centroids.
+
+    Each iteration: assign (row-local argmax) → per-(list, dimension) mean via
+    ``posexplode`` + one groupBy → collect k·dim cell means (kilobytes — a
+    model, not row data, same bounded-transfer argument as
+    functions/lang_model.py train).  Lists that lose all members keep their
+    previous centroid (the standard empty-cluster fallback).
+    """
+    dim = len(centroids[0])
+    cur = [list(map(float, c)) for c in centroids]
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_assign_expr(vec_col, cur).alias("list_idx"),
+            F.col(vec_col).alias("v"),
+        )
+        cells = (
+            assigned.select(
+                "list_idx", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("list_idx", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cur]
+        for row in cells:
+            nxt[row["list_idx"]][row["pos"]] = float(row["m"])
+        cur = nxt
+    return cur
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    centroids: Sequence[Sequence[float]] | None = None,
+    n_lists: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: exact cosine over the ``n_probe`` nearest lists.
+
+    Probe selection is driver-side arithmetic over the k centroids (a model,
+    not data); candidate filtering is the same row-local assignment
+    expression, so the whole query is one pruned scan + TakeOrderedAndProject
+    — no shuffle, no self-join.  With ``centroids=None`` the id-order seed
+    set is used (portable; see :func:`ivf_seed_centroids`) — production
+    callers pass :func:`ivf_refine`'d centroids computed once per corpus.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(df, id_col, vec_col, n_lists)
+    qv = [float(x) for x in query]
+    # probe ranking mirrors ivf_scores_expr: dot(q, c)/|c|, ties → smaller idx
+    scored = []
+    for i, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c))
+        scored.append((-(sum(a * b for a, b in zip(qv, c)) / nc), i))
+    probes = [i for _, i in sorted(scored)[:n_probe]]
+    candidates = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            ivf_assign_expr(vec_col, centroids).alias("_l"),
+        )
+        .filter(F.col("_l").isin(probes))
+        .select("_id", "_vec")
+    )
+    scores = cosine_scores(candidates, "_id", "_vec", query)
+    return scores.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)

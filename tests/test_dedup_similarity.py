@@ -515,3 +515,93 @@ def test_xxh64_replication_matches_spark(spark):
         vdf, "id", "v", n_planes=3, dim=8,
         planes=xxhash64_planes(3, 8)).collect()}  # replicated literals
     assert prod == lit
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _ivf_rows(n=240, dim=6):
+    # three well-separated directional clusters + per-row jitter, so k-means
+    # structure exists for IVF to exploit
+    base = {0: [9.0, 1.0, 0.0, 0.0, 1.0, 0.0],
+            1: [0.0, 0.0, 9.0, 1.0, 0.0, 1.0],
+            2: [1.0, 9.0, 0.0, 0.0, 0.0, 9.0]}
+    rows = []
+    for i in range(n):
+        c = base[i % 3]
+        rows.append((i, [c[j] + ((i * 7 + j * 5) % 11) / 10.0
+                         for j in range(dim)]))
+    return rows
+
+
+def test_ivf_assignment_is_nearest_centroid(spark):
+    rows = _ivf_rows()
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    cents = similarity.ivf_seed_centroids(df, "id", "v", k=6)
+    got = {r["id"]: r["list_idx"]
+           for r in similarity.ivf_assign(df, "id", "v", cents).collect()}
+    import math
+    for i, v in rows:
+        scores = [sum(a * b for a, b in zip(v, c))
+                  / math.sqrt(sum(x * x for x in c)) for c in cents]
+        assert got[i] == scores.index(max(scores))
+
+
+def test_ivf_topk_subset_of_bruteforce_and_good_recall(spark):
+    rows = _ivf_rows()
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    query = rows[0][1]
+    exact = [r["id"] for r in
+             similarity.cosine_topk(df, "id", "v", query, 10).collect()]
+    approx = similarity.ivf_topk(df, "id", "v", query, k=10, n_lists=6,
+                                 n_probe=2).collect()
+    ids = [r["id"] for r in approx]
+    # scores are true cosines, so any returned id that is in the exact top-k
+    # appears with the same rank ordering
+    assert len(ids) == 10
+    # with 2 of 6 lists probed on a 3-cluster corpus, the query's own cluster
+    # is covered: recall well above the 1/3 a random probe would give
+    recall = len(set(ids) & set(exact)) / 10
+    assert recall >= 0.7
+
+
+def test_ivf_refine_matches_numpy_lloyd(spark):
+    rows = _ivf_rows(n=90)
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    seeds = similarity.ivf_seed_centroids(df, "id", "v", k=3)
+    got = similarity.ivf_refine(df, "id", "v", seeds, iters=2)
+
+    import math
+    cur = [list(c) for c in seeds]
+    for _ in range(2):
+        sums = [[0.0] * 6 for _ in range(3)]
+        counts = [0] * 3
+        for _, v in rows:
+            scores = [sum(a * b for a, b in zip(v, c))
+                      / math.sqrt(sum(x * x for x in c)) for c in cur]
+            li = scores.index(max(scores))
+            counts[li] += 1
+            for j, x in enumerate(v):
+                sums[li][j] += x
+        cur = [[s / counts[i] for s in sums[i]] if counts[i] else cur[i]
+               for i in range(3)]
+    for c_spark, c_py in zip(got, cur):
+        for a, b in zip(c_spark, c_py):
+            assert abs(a - b) < 1e-9
+
+
+def test_ivf_refine_improves_recall_on_clustered_data(spark):
+    rows = _ivf_rows()
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    query = rows[1][1]
+    exact = set(r["id"] for r in
+                similarity.cosine_topk(df, "id", "v", query, 10).collect())
+    seeds = similarity.ivf_seed_centroids(df, "id", "v", k=3)
+    refined = similarity.ivf_refine(df, "id", "v", seeds, iters=3)
+    r_ref = set(r["id"] for r in similarity.ivf_topk(
+        df, "id", "v", query, k=10, centroids=refined, n_probe=1).collect())
+    # after Lloyd steps the 3 centroids sit on the 3 true clusters, so even a
+    # single probe finds the whole exact top-k (all in the query's cluster)
+    assert len(r_ref & exact) == 10

@@ -135,3 +135,80 @@ def test_baseline_snapshot_empty_column_refused(spark, tmp_path):
     empty = spark.createDataFrame([(None,)], "x double")
     with pytest.raises(ValueError, match="no non-null"):
         drift.save_baseline(empty, "x", str(tmp_path / "s2"))
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor vs stored baseline
+# ---------------------------------------------------------------------------
+
+
+def test_drift_monitor_stream_timeline(spark, tmp_path):
+    """Two micro-batches against a saved baseline: the stable batch scores
+    ~0 PSI, the shifted batch scores large PSI/KS — same numbers as the
+    batch-mode drift_report_vs_snapshot on identical data."""
+    from sissaschool_xmlschema_spark.operators import drift
+    from sissaschool_xmlschema_spark.streaming.drift_stream import (
+        drift_monitor_stream,
+        drift_timeline,
+    )
+
+    base_rows = [(float(i % 100),) for i in range(2000)]
+    stable_rows = [(float((i * 7) % 100),) for i in range(1000)]
+    shifted_rows = [(float(i % 100) + 500.0,) for i in range(1000)]
+
+    baseline = spark.createDataFrame(base_rows, "value double")
+    snap = str(tmp_path / "snap")
+    drift.save_baseline(baseline, "value", snap, n_buckets=10, ks_bins=100)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(stable_rows, "value double").repartition(
+        1
+    ).write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(shifted_rows, "value double").repartition(
+        1
+    ).write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "timeline")
+    q = drift_monitor_stream(
+        stream, "value", snap, out, checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    tl = drift_timeline(spark, out).collect()
+    assert [r["batch_id"] for r in tl] == [0, 1]
+    assert {r["n_rows"] for r in tl} == {1000}
+    by_batch = {r["batch_id"]: r for r in tl}
+    # file order = write order: batch 0 is the stable slice
+    assert by_batch[0]["psi"] < 0.1
+    assert by_batch[1]["psi"] > 0.25
+    assert by_batch[1]["ks"] > 0.9  # disjoint supports -> KS ~ 1
+
+    # batch-mode parity: the same shifted data through the non-streaming path
+    batch_report = drift.drift_report_vs_snapshot(
+        spark.createDataFrame(shifted_rows, "value double"), snap
+    ).first()
+    assert abs(batch_report["psi"] - by_batch[1]["psi"]) < 1e-12
+    assert abs(batch_report["ks"] - by_batch[1]["ks"]) < 1e-12
+
+
+def test_drift_monitor_rejects_wrong_column(spark, tmp_path):
+    from sissaschool_xmlschema_spark.operators import drift
+    from sissaschool_xmlschema_spark.streaming.drift_stream import (
+        drift_monitor_stream,
+    )
+
+    baseline = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    snap = str(tmp_path / "snap2")
+    drift.save_baseline(baseline, "value", snap)
+    stream = spark.readStream.schema("other double").parquet(
+        str(tmp_path / "nosrc") + "/*"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snapshot at .* is for column"):
+        drift_monitor_stream(stream, "other", snap, str(tmp_path / "o"))
