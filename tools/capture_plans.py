@@ -88,6 +88,17 @@ def main() -> None:
         keyref_misses(orders, c2, keys_df=cust),
     )
 
+    # round-3 operators (sf0.01 testdata)
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    show("simhash combined-chunk tables (fast flavor)",
+         e.q_simhash_fast(spark, sf))
+    show("dedup keep-list connected components", e.q_dedup_keep_cc(spark, sf))
+    show("lsh_topk multiprobe", e.q_lsh_topk_probe(spark, sf))
+    show("ivf_topk pruned scan", e.q_ivf_topk(spark, sf))
+    show("lang_id_model mapInPandas", e.q_lang_id_model(spark, sf))
+
 
 if __name__ == "__main__":
     main()
