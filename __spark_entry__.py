@@ -889,6 +889,47 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch ANN serving shape: a query TABLE (8 vectors) joined to the
+    corpus on multiprobe LSH buckets, per-query exact-cosine top-5 via one
+    row_number window.  The corpus never shuffles (queries broadcast);
+    portable planes make every bucket and rank DuckDB-reproducible."""
+    emb = _emb_double(spark, sf_dir)
+    planes = similarity.portable_planes(4, 64)
+    r = similarity.knn_join(
+        emb.filter("vec_id < 8"), emb, k=5, n_planes=4, dim=64,
+        planes=planes, multiprobe=True,
+        q_id="vec_id", q_vec="v", c_id="vec_id", c_vec="v",
+    )
+    return r.select(
+        "q_id", "c_id", "rank", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_pipeline_keep(spark, sf_dir):
+    """End-to-end curation pipeline (portable md5 flavor): length + language
+    + stopword + punctuation gates composed with the greedy LSH dedup
+    keep-list in one plan — the composition a 100 TB corpus job runs."""
+    from sissaschool_xmlschema_spark.operators import pipeline
+
+    keep = pipeline.pretraining_keep(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_tokens=20, langs=("en",), k=24, bands=8, portable=True,
+    )
+    return keep.select(F.col("id").alias("doc_id"), "lang", "n_tokens")
+
+
+def q_pipeline_keep_fast(spark, sf_dir):
+    """Production flavor of the curation pipeline (xxhash64 signatures)."""
+    from sissaschool_xmlschema_spark.operators import pipeline
+
+    keep = pipeline.pretraining_keep(
+        _docs(spark, sf_dir), "doc_id", "text",
+        min_tokens=20, langs=("en",), k=24, bands=8, portable=False,
+    )
+    return keep.select(F.col("id").alias("doc_id"), "lang", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -956,6 +997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "lsh_topk_probe": q_lsh_topk_probe,
         "ivf_topk": q_ivf_topk,
+        "knn_join": q_knn_join,
+        "pipeline_keep": q_pipeline_keep,
+        "pipeline_keep_fast": q_pipeline_keep_fast,
     }
 
 
@@ -1887,6 +1931,100 @@ SELECT vec_id, ROUND(cos, 6) AS cos FROM (
             * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM assign a JOIN probes USING (cid), q
 ) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    # batch ANN: query table (vec_id < 8) × ring-1 multiprobe buckets ×
+    # per-query top-5.  Spark's row_number window = ROW_NUMBER() with the
+    # identical (cos DESC, c_id ASC) order; a corpus vector has exactly one
+    # bucket and probe buckets are distinct, so the OR-join yields each
+    # (q, c) candidate at most once on both engines.
+    _knn_probe = " OR ".join(
+        ["c.bucket = q.qb"]
+        + [f"c.bucket = xor(q.qb, {1 << p})" for p in range(4)]
+    )
+    sql["knn_join"] = f"""
+WITH {_emb_cte},
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 8),
+cand AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         list_dot_product(c.v, q.qv)
+         / (sqrt(list_dot_product(c.v, c.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM b c JOIN q ON ({_knn_probe})
+),
+r AS (
+  SELECT q_id, c_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, c_id ASC) AS rank
+  FROM cand
+)
+SELECT q_id, c_id, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 5
+"""
+
+    # end-to-end curation pipeline: integer/string gates (token count,
+    # marker-argmax language over ALL 8 markers/lang of
+    # functions/text.py LANG_MARKERS, 2·punct < chars) then the md5
+    # minhash keep-list over the gated subset — every keep/drop decision
+    # replicated exactly (no float thresholds gate)
+    _pk_marks = {
+        "en": ("the", "and", "of", "to", "is", "you", "that", "it"),
+        "es": ("el", "la", "de", "que", "y", "los", "las", "una"),
+        "fr": ("le", "la", "les", "des", "est", "une", "que", "dans"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    }
+    _pk_counts = ", ".join(
+        "len(list_filter(ltoks, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) AS c_{lang}"
+        for lang, words in _pk_marks.items()
+    )
+    sql["pipeline_keep"] = f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ltoks,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT id, text, n_tokens, n_chars, n_punct, {_pk_counts}
+  FROM base
+),
+langd AS (
+  SELECT id, text, n_tokens, n_chars, n_punct,
+    CASE
+      WHEN GREATEST(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+      WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) THEN 'en'
+      WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) THEN 'es'
+      WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) THEN 'fr'
+      ELSE 'de'
+    END AS lang
+  FROM scored
+),
+gated AS (
+  SELECT id, text, lang, n_tokens FROM langd
+  WHERE n_tokens >= 20 AND lang = 'en' AND n_punct * 2 < n_chars
+),
+toks AS (
+  SELECT id, UNNEST(list_filter(list_distinct(
+    string_split_regex(text, '\\s+')), t -> t <> '')) AS token
+  FROM gated
+),
+sigs AS ({_mh_sigs}),
+buckets AS ({_mh_buckets}),
+mins AS (SELECT band, bkey, MIN(id) AS min_id FROM buckets
+         GROUP BY band, bkey),
+dropped AS (
+  SELECT DISTINCT b.id FROM buckets b
+  JOIN mins m ON b.band = m.band AND b.bkey = m.bkey
+  WHERE b.id > m.min_id
+)
+SELECT id AS doc_id, lang, CAST(n_tokens AS INT) AS n_tokens FROM gated
+WHERE id NOT IN (SELECT id FROM dropped)
 """
 
     return sql

@@ -183,6 +183,8 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "lang_id_model",
         "lsh_topk_probe",
         "ivf_topk",
+        "knn_join",
+        "pipeline_keep_fast",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

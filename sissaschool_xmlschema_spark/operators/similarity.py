@@ -203,6 +203,88 @@ def lsh_topk(
     return scores.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    planes: list | None = None,
+    multiprobe: bool = False,
+    q_id: str = "id",
+    q_vec: str = "vec",
+    c_id: str = "id",
+    c_vec: str = "vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch ANN — per-query approximate top-k for a whole QUERY TABLE.
+
+    ``(q_id, c_id, rank, cos)``: every query joined to its LSH probe
+    bucket(s) in the corpus, exact cosine within the bucket, per-query top-k
+    via one ``row_number`` window.  The production serving shape when there
+    are many queries (dedup-against-corpus, retrieval eval, batch knn):
+
+    * bucket assignment is row-local on BOTH sides (no shuffle to build);
+    * the join is an equi-join on the bucket id — with
+      ``broadcast_queries=True`` (the serving default: query batches are
+      small) the corpus side never shuffles at all, so the whole job is one
+      corpus scan + a broadcast hash join + a window over the candidate set
+      (~n_queries · n/2^n_planes rows, not n);
+    * ``multiprobe=True`` explodes each query to its ring-1 probe set
+      (:func:`probe_buckets`) before the join — recall up, corpus cost
+      unchanged, candidate volume ×(n_planes+1).
+
+    At 100 TB the corpus is partitioned by the bucket column, so the join
+    prunes files; a hot bucket (skewed embedding cluster) is handled by
+    AQE's skew-join split since the corpus side is the shuffled one only
+    when queries aren't broadcast.  Ties are broken by ``c_id`` so results
+    are deterministic and portable (the DuckDB oracle reproduces them with
+    the same ``portable_planes`` literals).
+    """
+    from pyspark.sql import Window
+
+    qb = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(q_vec).alias("_qv"),
+        bucket_expr(q_vec, n_planes, dim, seed, planes).alias("_qb"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_qb"),
+            *[
+                F.col("_qb").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "q_id", "_qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb.select("q_id", "_qv", F.col("_qb").alias("bucket"))
+    if broadcast_queries:
+        qb = F.broadcast(qb)
+    cb = corpus.select(
+        F.col(c_id).alias("c_id"),
+        F.col(c_vec).alias("_cv"),
+        bucket_expr(c_vec, n_planes, dim, seed, planes).alias("bucket"),
+    )
+    cos = dot(F.col("_cv"), F.col("_qv")) / (
+        norm(F.col("_cv")) * norm(F.col("_qv"))
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .select("q_id", "c_id", cos.alias("cos"))
+        .where(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def query_bucket(spark, query: Sequence[float], n_planes: int = 8,
                  seed: int = 42, planes: list | None = None) -> int:
     """Bucket of the query vector, computed with the *identical* Spark
