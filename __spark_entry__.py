@@ -930,6 +930,125 @@ def q_pipeline_keep_fast(spark, sf_dir):
     return keep.select(F.col("id").alias("doc_id"), "lang", "n_tokens")
 
 
+def _decontam_split(spark, sf_dir):
+    """Deterministic benchmark/corpus split of the documents table.
+
+    Real pipelines join against a separate eval-suite table; the synthetic
+    stand-in holds out doc_id % 97 == 0 as the "benchmark" (6 docs at
+    sf0.01) and decontaminates the rest against it."""
+    docs = _docs(spark, sf_dir)
+    return (docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0))
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark-leakage scan (GPT-3 appendix C shape): corpus docs sharing
+    a token 3-gram with a held-out benchmark set, with distinct-hit counts.
+
+    n=3 because the synthetic near-dups shuffle word order (contiguous grams
+    rarely survive past 4 tokens); production pipelines use 8-13."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    corpus, bench = _decontam_split(spark, sf_dir)
+    return curation.contamination_hits(corpus, bench, "doc_id", "text", n=3)
+
+
+def q_decontam_fast(spark, sf_dir):
+    """Production flavor: grams ship as xxhash64 longs, not strings —
+    identical counts barring 64-bit collisions, so the SAME SQL oracle
+    applies (the hash never reaches the output)."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    corpus, bench = _decontam_split(spark, sf_dir)
+    return curation.contamination_hits(
+        corpus, bench, "doc_id", "text", n=3, hash_grams=True
+    )
+
+
+def q_decontam_keep(spark, sf_dir):
+    """Decontaminated corpus (the production output): doc ids with NO
+    benchmark 3-gram overlap, via a gram-level broadcast anti-join."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    corpus, bench = _decontam_split(spark, sf_dir)
+    return curation.decontaminate(
+        corpus, bench, "doc_id", "text", n=3
+    ).select("doc_id")
+
+
+def q_rep_metrics(spark, sf_dir):
+    """Gopher-style within-document repetition signals as exact integers
+    (duplicate tokens / duplicate 5-grams) — row-local, zero shuffle."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.repetition_metrics(
+        _docs(spark, sf_dir), "doc_id", "text", gram_n=5
+    )
+
+
+def q_top_bigram(spark, sf_dir):
+    """Most-frequent-bigram occurrence count per doc via explode + two
+    partial-agg groupBys (linear in doc length — the 10^5-token-doc shape)."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.top_ngram_counts(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection counts + redacted length, JVM-side regexp only.
+
+    The synthetic corpus contains no PII, so the query PLANTS deterministic
+    emails / IPv4s / phone numbers keyed on doc_id (mirrored exactly in the
+    oracle SQL) — the same plant-then-assert strategy the reference's test
+    suite uses for invalid values (validators/schemas.py iter_errors tests)."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" contact user"),
+                                    d.cast("string"), F.lit("@example.com now")))
+        .when(d % 5 == 1, F.concat(F.col("text"), F.lit(" from 10.0."),
+                                   (d % 256).cast("string"), F.lit(".7 logged")))
+        .when(d % 5 == 2, F.concat(F.col("text"), F.lit(" call +1 415 555 0"),
+                                   (100 + d % 100).cast("string")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return curation.pii_scan(planted, "doc_id", "text")
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Per-(lang, source) corpus accounting — the integer inputs to any
+    domain-mixing decision. One partial-agg groupBy."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.mixture_weights(_docs(spark, sf_dir), ["lang", "source"], "text")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-gated stratified sample (portable md5 flavor):
+    per-lang keep rates in ppm; reproducible across retries/resumes, unlike
+    F.rand()."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 300000, "fr": 800000}, default_ppm=500000,
+    ).select("doc_id", "lang")
+
+
+def q_sample_stratified_fast(spark, sf_dir):
+    """Production sampler flavor: one xxhash64 per row, no hex round-trip
+    (different hash ⇒ different-but-equally-valid sample; rows-only)."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang",
+        {"en": 300000, "fr": 800000}, default_ppm=500000, portable=False,
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1000,6 +1119,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "pipeline_keep": q_pipeline_keep,
         "pipeline_keep_fast": q_pipeline_keep_fast,
+        "decontam": q_decontam,
+        "decontam_fast": q_decontam_fast,
+        "decontam_keep": q_decontam_keep,
+        "rep_metrics": q_rep_metrics,
+        "top_bigram": q_top_bigram,
+        "pii_scan": q_pii_scan,
+        "mixture_weights": q_mixture_weights,
+        "sample_stratified": q_sample_stratified,
+        "sample_stratified_fast": q_sample_stratified_fast,
     }
 
 
@@ -2027,4 +2155,95 @@ SELECT id AS doc_id, lang, CAST(n_tokens AS INT) AS n_tokens FROM gated
 WHERE id NOT IN (SELECT id FROM dropped)
 """
 
+    # curation family: tokenization contract is a single-space split of the
+    # lowercased text (string_split, NOT the \s+ regex) — parity with
+    # operators/curation.py token_ngrams
+    _g3 = ("list_transform(generate_series(1, greatest(len(t) - 2, 0)), "
+           "i -> array_to_string(t[i:i+2], ' '))")
+    _g5 = ("list_transform(generate_series(1, greatest(len(t) - 4, 0)), "
+           "i -> array_to_string(t[i:i+4], ' '))")
+    _decontam_grams = f"""
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, UNNEST({_g3}) AS g FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)"""
+    sql["decontam"] = f"""
+WITH {_decontam_grams}
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM grams c JOIN bench USING (g)
+WHERE c.doc_id % 97 <> 0
+GROUP BY c.doc_id
+"""
+    # the hashed production flavor only changes the join key representation
+    # (xxhash64 long vs gram string); the output columns are hash-free, so
+    # the same oracle applies — equality holds barring 64-bit collisions
+    sql["decontam_fast"] = sql["decontam"]
+    sql["decontam_keep"] = f"""
+WITH {_decontam_grams},
+hit AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench USING (g)
+        WHERE c.doc_id % 97 <> 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+    sql["rep_metrics"] = f"""
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS n_dup_token,
+  CAST(len(g) AS BIGINT) AS n_gram,
+  CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dup_gram
+FROM (SELECT doc_id, t, {_g5} AS g
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))
+"""
+    sql["top_bigram"] = """
+WITH g AS (
+  SELECT doc_id, UNNEST(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+    i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_n FROM c GROUP BY doc_id
+"""
+    # planted PII mirrors q_pii_scan's CASE exactly; patterns stay inside the
+    # Java-regex ∩ RE2 common subset (no backreferences/lookaround)
+    sql["pii_scan"] = r"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 5 = 1 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+         WHEN doc_id % 5 = 2 THEN text || ' call +1 415 555 0' || CAST(100 + doc_id % 100 AS VARCHAR)
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\+\d[\d ()-]{6,}\d')) AS BIGINT) AS n_phone,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+FROM p
+"""
+    sql["mixture_weights"] = r"""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY lang, source
+"""
+    # portable sampler: first 8 hex chars of md5('42|' || id) decoded with
+    # strpos arithmetic (DuckDB has no hex->int conv), mod 10^6
+    _hex8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sql["sample_stratified"] = f"""
+WITH p AS (
+  SELECT doc_id, lang, md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id, lang FROM p
+WHERE ({_hex8}) % 1000000 <
+  CASE WHEN lang = 'en' THEN 300000 WHEN lang = 'fr' THEN 800000 ELSE 500000 END
+"""
+    # sample_stratified_fast: no oracle — xxhash64 draws a different (equally
+    # valid) deterministic sample; DuckDB cannot replicate Spark's string
+    # xxhash64, and unlike decontam_fast the hash DETERMINES the output rows
     return sql

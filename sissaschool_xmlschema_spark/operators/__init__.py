@@ -1,2 +1,3 @@
 """Distributed check operators: identity constraints, content models, stats,
-drift, dedup, similarity, text analysis, multimodal plumbing."""
+drift, dedup, similarity, text analysis, curation (decontamination, PII,
+mixture/sampling), multimodal plumbing."""
