@@ -1018,6 +1018,27 @@ def q_pii_scan(spark, sf_dir):
     return curation.pii_scan(planted, "doc_id", "text")
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4-style corpus-wide span dedup (portable string-key flavor): every
+    duplicated 3-token window keeps only its first (doc_id, pos) occurrence;
+    docs are rebuilt from surviving spans."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.span_dedup(_docs(spark, sf_dir), "doc_id", "text", width=3)
+
+
+def q_span_dedup_fast(spark, sf_dir):
+    """Production flavor: only (xxhash64(span), doc_id, pos) tuples shuffle —
+    span text never leaves its scan; rebuilt row-locally from surviving
+    positions.  Hash is key-only (never an output column), so the same SQL
+    oracle applies barring 64-bit collisions."""
+    from sissaschool_xmlschema_spark.operators import curation
+
+    return curation.span_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", width=3, hash_spans=True
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     """Per-(lang, source) corpus accounting — the integer inputs to any
     domain-mixing decision. One partial-agg groupBy."""
@@ -1125,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_metrics": q_rep_metrics,
         "top_bigram": q_top_bigram,
         "pii_scan": q_pii_scan,
+        "span_dedup": q_span_dedup,
+        "span_dedup_fast": q_span_dedup_fast,
         "mixture_weights": q_mixture_weights,
         "sample_stratified": q_sample_stratified,
         "sample_stratified_fast": q_sample_stratified_fast,
@@ -2224,6 +2247,31 @@ SELECT doc_id,
       '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
 FROM p
 """
+    # span dedup: first occurrence = MIN(doc_id*10^6 + pos) — identical to
+    # Spark's min(struct(doc_id, pos)) ordering because pos < 10^6 (docs
+    # under 3M tokens); string_agg ORDER BY pos rebuilds the doc
+    sql["span_dedup"] = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sp AS (
+  SELECT doc_id, pos, array_to_string(t[(pos*3+1):(pos*3+3)], ' ') AS span
+  FROM (SELECT doc_id, t,
+          UNNEST(generate_series(0, CAST((len(t)+2)//3 AS INT) - 1)) AS pos
+        FROM toks)
+),
+firsts AS (SELECT span, MIN(doc_id*1000000+pos) AS fk FROM sp GROUP BY span),
+kept AS (
+  SELECT sp.doc_id, sp.pos, sp.span
+  FROM sp JOIN firsts ON sp.span = firsts.span
+   AND sp.doc_id*1000000+sp.pos = firsts.fk
+)
+SELECT kept.doc_id, ns.n_spans, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(span, ' ' ORDER BY pos) AS clean_text
+FROM kept JOIN (SELECT doc_id, CAST((len(t)+2)//3 AS BIGINT) AS n_spans FROM toks) ns
+  USING (doc_id)
+GROUP BY kept.doc_id, ns.n_spans
+"""
+    # hash-keyed production flavor: hash never reaches the output columns
+    sql["span_dedup_fast"] = sql["span_dedup"]
     sql["mixture_weights"] = r"""
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens

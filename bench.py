@@ -185,6 +185,8 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "ivf_topk",
         "knn_join",
         "pipeline_keep_fast",
+        "decontam_fast",
+        "pii_scan",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

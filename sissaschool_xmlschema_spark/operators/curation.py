@@ -208,6 +208,86 @@ def top_ngram_counts(
 
 
 # ---------------------------------------------------------------------------
+# span-level exact dedup (C4-style)
+
+
+def _doc_spans(text: Column, width: int) -> Column:
+    """Non-overlapping ``width``-token windows of the lowercased text.
+
+    The trailing span may be shorter; docs shorter than ``width`` yield one
+    span (themselves) — a doc never silently vanishes at tokenize time.
+    """
+    toks = F.split(F.lower(text), " ")
+    n = (F.size(toks) + (width - 1)) / width  # ceil, int division below
+    return F.transform(
+        F.sequence(F.lit(0), n.cast("int") - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * width + 1, width)),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 3,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact span dedup (the C4 recipe, token-window form):
+    every occurrence of a duplicated span is removed EXCEPT the first
+    (first = smallest ``(doc_id, pos)``), and each document's text is
+    rebuilt from its surviving spans in order.
+
+    Returns ``(id_col, n_spans, n_kept, clean_text)``; documents whose every
+    span was seen earlier elsewhere drop out entirely.
+
+    ``hash_spans=True`` is the 100 TB shape: only ``(xxhash64(span), id,
+    pos)`` tuples ever shuffle — span *text* never leaves its scan; surviving
+    positions join back to the original row and the text is rebuilt
+    row-locally by re-slicing.  Output is identical to the portable string
+    flavor barring 64-bit hash collisions (the hash is key-only, never an
+    output column).
+    """
+    spans = _doc_spans(F.col(text_col), width)
+    sp = df.select(
+        F.col(id_col),
+        F.posexplode(spans).alias("pos", "span"),
+    )
+    key = F.xxhash64("span") if hash_spans else F.col("span")
+    keyed = sp.select(id_col, "pos", key.alias("k"))
+    firsts = keyed.groupBy("k").agg(
+        F.min(F.struct(id_col, "pos")).alias("first")
+    )
+    kept = (
+        keyed.join(firsts, "k")
+        .filter(
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select(id_col, "pos")
+    )
+    kept_pos = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("poss"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    rebuild = F.concat_ws(
+        " ",
+        F.transform(
+            F.col("poss"),
+            lambda j: F.concat_ws(
+                " ", F.slice(toks, j * width + 1, width)
+            ),
+        ),
+    )
+    return df.join(kept_pos, id_col).select(
+        F.col(id_col),
+        F.size(spans).cast("long").alias("n_spans"),
+        F.col("n_kept"),
+        rebuild.alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scan / redaction
 
 

@@ -126,6 +126,56 @@ def test_top_ngram_counts(spark):
 
 
 # ---------------------------------------------------------------------------
+# span dedup
+
+
+def test_span_dedup_cross_doc_and_within_doc(spark):
+    # doc 1 defines spans [a b c] [d e f]; doc 2 repeats [a b c] then has its
+    # own [x y z]; doc 3 repeats one span WITHIN itself; doc 4 is entirely a
+    # duplicate of doc 1's first span and must vanish
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "p q r p q r"),
+            (4, "a b c"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in C.span_dedup(df, "doc_id", "text", width=3).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == "x y z"  # first span deduped away
+    assert out[3]["clean_text"] == "p q r"  # within-doc repeat dropped
+    assert 4 not in out  # fully duplicated doc drops out entirely
+
+
+def test_span_dedup_short_doc_and_tail(spark):
+    # a doc shorter than width is one span; tails shorter than width count
+    df = _docs(spark, [(1, "a b c d"), (2, "zz")])
+    out = {
+        r["doc_id"]: r for r in C.span_dedup(df, "doc_id", "text", width=3).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[1]["n_spans"] == 2  # [a b c] + tail [d]
+    assert out[2]["clean_text"] == "zz"
+
+
+def test_span_dedup_hash_flavor_matches(spark):
+    df = _docs(
+        spark,
+        [(i, f"w{i % 7} common span tokens here plus w{i % 3}") for i in range(40)],
+    )
+    a = sorted(map(tuple, C.span_dedup(df, "doc_id", "text", 3).collect()))
+    b = sorted(
+        map(tuple, C.span_dedup(df, "doc_id", "text", 3, hash_spans=True).collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # PII
 
 

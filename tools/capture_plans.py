@@ -98,6 +98,7 @@ def main() -> None:
     show("lsh_topk multiprobe", e.q_lsh_topk_probe(spark, sf))
     show("ivf_topk pruned scan", e.q_ivf_topk(spark, sf))
     show("lang_id_model mapInPandas", e.q_lang_id_model(spark, sf))
+    show("decontamination broadcast gram join", e.q_decontam_fast(spark, sf))
 
 
 if __name__ == "__main__":
