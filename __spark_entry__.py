@@ -1070,6 +1070,42 @@ def q_sample_stratified_fast(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _trained_merges(spark, sf_dir):
+    """Train the corpus BPE once per (process, sf_dir) — the compile-once
+    pattern: training is deterministic, so caching changes nothing but cost."""
+    from sissaschool_xmlschema_spark.functions import bpe
+
+    cache = _trained_merges.__dict__.setdefault("cache", {})
+    if sf_dir not in cache:
+        cache[sf_dir] = bpe.train_bpe(
+            _docs(spark, sf_dir), "text", n_merges=40, top_n_words=20_000
+        )
+    return cache[sf_dir]
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Learned BPE merge table (rank, left, right): distributed word-count
+    stage + bounded driver-side merge loop (Sennrich-style trainer).  No SQL
+    oracle (iterative merges aren't SQL-expressible); pytest verifies
+    hand-computed merge sequences and determinism."""
+    merges = _trained_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Per-doc token counts under the TRAINED tokenizer (vs text_metrics'
+    regex approximation): broadcast merge list, one Arrow-batched
+    mapInPandas pass with a per-batch word memo.  Rows-only (the encoder
+    is pytest-verified against hand-worked examples)."""
+    from sissaschool_xmlschema_spark.functions import bpe
+
+    merges = _trained_merges(spark, sf_dir)
+    return bpe.bpe_token_counts(_docs(spark, sf_dir), "doc_id", "text", merges)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1151,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "sample_stratified": q_sample_stratified,
         "sample_stratified_fast": q_sample_stratified_fast,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
