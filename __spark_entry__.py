@@ -1106,6 +1106,32 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe.bpe_token_counts(_docs(spark, sf_dir), "doc_id", "text", merges)
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Concatenate-and-chunk packing layout over the document corpus:
+    global token offsets via the scalable two-phase prefix sum (no
+    single-partition window), per-doc first/last sequence index at 2048-token
+    boundaries.  Oracled by a plain SQL window cumsum."""
+    from sissaschool_xmlschema_spark.operators.packing import pack_concat_chunks
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return pack_concat_chunks(docs, "doc_id", "n_tokens", 2048)
+
+
+def q_pack_bins(spark, sf_dir):
+    """First-fit-decreasing no-split packing into 2048-token bins, FFD run
+    per hash group in an Arrow-batched applyInPandas kernel.  Rows-only
+    (stateful greedy is not SQL-expressible); pytest covers capacity,
+    determinism and the FFD-beats-next-fit property."""
+    from sissaschool_xmlschema_spark.operators.packing import pack_bins_first_fit
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return pack_bins_first_fit(docs, "doc_id", "n_tokens", 2048, n_groups=64)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1189,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_fast": q_sample_stratified_fast,
         "bpe_vocab": q_bpe_vocab,
         "bpe_tokens": q_bpe_tokens,
+        "pack_chunks": q_pack_chunks,
+        "pack_bins": q_pack_bins,
     }
 
 
@@ -1787,6 +1815,28 @@ SELECT vec_id, ROUND(cos, 6) AS cos FROM (
             * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM b, q WHERE b.bucket = q.qb
 ) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["pack_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+  CAST(start_tok // 2048 AS BIGINT) AS first_seq,
+  CAST(GREATEST(start_tok, start_tok + n_tokens - 1) // 2048 AS BIGINT)
+    AS last_seq,
+  CAST(GREATEST(start_tok, start_tok + n_tokens - 1) // 2048
+       - start_tok // 2048 AS BIGINT) AS n_splits
+FROM c
 """
 
     sql["text_metrics"] = """

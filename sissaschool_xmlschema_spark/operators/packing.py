@@ -1,0 +1,198 @@
+"""Training-sequence packing: lay a document corpus out as fixed-length
+token sequences.
+
+Part of the LLM-data-pipeline surface this engine adds on top of the
+reference's validation semantics (the reference validates documents one at a
+time — ``validators/schemas.py:1386-1405`` ``iter_errors`` — and has no
+packing analogue; these operators cover what a pretraining pipeline does
+*after* validation/dedup has produced a keep-list).
+
+Two tiers, mirroring how real pipelines pack:
+
+``pack_concat_chunks``
+    GPT-style concatenate-and-chunk: the corpus is one token stream in a
+    deterministic document order, split every ``seq_len`` tokens; documents
+    may straddle sequence boundaries.  The global token offset of each
+    document is an order-preserving prefix sum, computed scalably as a
+    two-phase sum (per-range-partition window cumsum, then O(#partitions)
+    partition offsets collected and broadcast back) — NO single-partition
+    global window, so the plan survives a 100 TB corpus.  Pure prefix-sum
+    math ⇒ SQL-oracle-able.
+
+``pack_bins_first_fit``
+    No-split bin packing (each document lands whole in one sequence,
+    remainder is padding): first-fit-decreasing inside each hash partition
+    via an Arrow-batched ``applyInPandas`` kernel.  Bins never span
+    partitions, so the greedy state is partition-local and the operator is
+    embarrassingly parallel; bin ids are globally unique via
+    ``(group << 32) | local``.  Stateful greedy ⇒ not SQL-expressible
+    (rows-only in the driver gate; pytest verifies capacity, determinism and
+    an FFD-beats-next-fit property).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    seq_len: int,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-document layout under concatenate-and-chunk packing.
+
+    ``order_col`` (default ``id_col``) defines the corpus order and must be
+    unique — ties across range-partition boundaries would make the prefix
+    sum partitioning-dependent.
+
+    Returns one row per document: ``(id_col, n_tokens, start_tok,
+    first_seq, last_seq, n_splits)`` where ``start_tok`` is the document's
+    global token offset, ``first_seq``/``last_seq`` the sequence indices it
+    touches, and ``n_splits`` how many ``seq_len`` boundaries cut it.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    order_col = order_col or id_col
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    base = (
+        df.select(id_col, F.col(tok_col).cast("long").alias("n_tokens"),
+                  order_col)
+        .repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # Phase 1: O(#partitions) totals to the driver — the only driver-side
+    # data, independent of row count.  Computed as a plain aggregate (no
+    # window) so the scan stays column-pruned and nothing needs caching.
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += int(totals[pid] or 0)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+
+    # Phase 2: within-partition cumsum + broadcast offset join.
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = base.withColumn("_local_end", F.sum("n_tokens").over(w))
+    start = F.col("_off") + F.col("_local_end") - F.col("n_tokens")
+    end_m1 = F.greatest(start, start + F.col("n_tokens") - F.lit(1))
+    first_seq = F.floor(start / seq_len)
+    last_seq = F.floor(end_m1 / seq_len)
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            start.alias("start_tok"),
+            first_seq.cast("long").alias("first_seq"),
+            last_seq.cast("long").alias("last_seq"),
+            (last_seq - first_seq).cast("long").alias("n_splits"),
+        )
+    )
+
+
+def pack_stats(chunks: DataFrame, seq_len: int) -> DataFrame:
+    """One-row summary of a :func:`pack_concat_chunks` layout: total tokens,
+    number of ``seq_len`` sequences, documents split across boundaries."""
+    return chunks.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / seq_len).cast("long").alias("n_sequences"),
+        F.sum((F.col("n_splits") > 0).cast("long")).alias("n_docs_split"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def pack_bins_first_fit(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    seq_len: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """First-fit-decreasing no-split packing into ``seq_len``-capacity bins.
+
+    Documents are hash-partitioned into ``n_groups`` independent groups
+    (``pmod(xxhash64(id), n_groups)``); FFD runs per group in one
+    Arrow-batched pandas kernel.  A document longer than ``seq_len`` gets a
+    bin of its own, flagged ``overflow``.  Deterministic: groups are pure
+    hash functions of the id and the in-group order is (tokens desc, id asc).
+
+    Scale note: at 10⁹ docs, raise ``n_groups`` so each group fits an Arrow
+    batch (~seq count / 500k); packing quality is unaffected because FFD
+    waste is a per-group constant factor, and bins never span groups.
+
+    Returns ``(id_col, n_tokens, bin_id, overflow)``.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if n_groups <= 0:
+        raise ValueError("n_groups must be positive")
+
+    idc = id_col  # close over strings, not Columns, for the pandas kernel
+
+    def ffd(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        pdf = pdf.sort_values(
+            ["n_tokens", idc], ascending=[False, True], kind="mergesort"
+        )
+        caps: list[int] = []  # remaining capacity per local bin
+        bins: list[int] = []
+        overflow: list[bool] = []
+        for t in pdf["n_tokens"].to_numpy():
+            t = int(t)
+            if t > seq_len:
+                caps.append(0)
+                bins.append(len(caps) - 1)
+                overflow.append(True)
+                continue
+            for i, c in enumerate(caps):
+                if c >= t:
+                    caps[i] = c - t
+                    bins.append(i)
+                    break
+            else:
+                caps.append(seq_len - t)
+                bins.append(len(caps) - 1)
+            overflow.append(False)
+        pdf = pdf.assign(
+            bin_id=[(gid << 32) | b for b in bins], overflow=overflow
+        )
+        return pdf[[idc, "n_tokens", "bin_id", "overflow"]]
+
+    prepared = df.select(
+        id_col, F.col(tok_col).cast("long").alias("n_tokens")
+    ).withColumn(
+        "_grp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    )
+    return prepared.groupBy("_grp").applyInPandas(
+        ffd, schema=f"{id_col} long, n_tokens long, bin_id long, overflow boolean"
+    )
+
+
+def pack_bins_stats(assignments: DataFrame, seq_len: int) -> DataFrame:
+    """One-row packing-quality summary for :func:`pack_bins_first_fit`:
+    bins used, mean fill ratio over non-overflow bins, padding fraction."""
+    per_bin = (
+        assignments.filter(~F.col("overflow"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.avg(F.col("fill") / seq_len).alias("mean_fill"),
+        (1 - F.sum("fill") / (F.count(F.lit(1)) * seq_len)).alias("padding_frac"),
+    )

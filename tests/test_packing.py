@@ -1,0 +1,111 @@
+"""Sequence-packing operators: concat-and-chunk layout and FFD bin packing."""
+import pytest
+
+from sissaschool_xmlschema_spark.operators.packing import (
+    pack_bins_first_fit,
+    pack_bins_stats,
+    pack_concat_chunks,
+    pack_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_concat_chunks_hand_computed(spark):
+    # stream: [5][3][4][6] with seq_len=4 -> offsets 0,5,8,12
+    df = _docs(spark, [(1, 5), (2, 3), (3, 4), (4, 6)])
+    out = {
+        r["doc_id"]: r
+        for r in pack_concat_chunks(df, "doc_id", "n_tokens", 4).collect()
+    }
+    assert out[1]["start_tok"] == 0 and out[1]["first_seq"] == 0
+    assert out[1]["last_seq"] == 1 and out[1]["n_splits"] == 1  # spans 0..4
+    assert out[2]["start_tok"] == 5 and out[2]["first_seq"] == 1
+    assert out[2]["last_seq"] == 1 and out[2]["n_splits"] == 0  # tokens 5..7
+    assert out[3]["start_tok"] == 8 and out[3]["n_splits"] == 0  # 8..11 exact
+    assert out[4]["start_tok"] == 12 and out[4]["last_seq"] == 4
+
+    stats = pack_stats(
+        pack_concat_chunks(df, "doc_id", "n_tokens", 4), 4
+    ).first()
+    assert stats["total_tokens"] == 18
+    assert stats["n_sequences"] == 5  # ceil(18/4)
+    assert stats["n_docs_split"] == 2  # docs 1 and 4
+    assert stats["n_docs"] == 4
+
+
+def test_concat_chunks_partitioning_invariant(spark):
+    # The two-phase prefix sum must give the same offsets regardless of how
+    # the input arrives partitioned.
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    a = pack_concat_chunks(
+        _docs(spark, rows).repartition(7), "doc_id", "n_tokens", 16
+    )
+    b = pack_concat_chunks(
+        _docs(spark, rows).coalesce(1), "doc_id", "n_tokens", 16
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and matches the serial prefix sum
+    expect = {}
+    off = 0
+    for i, t in rows:
+        expect[i] = off
+        off += t
+    for r in a.collect():
+        assert r["start_tok"] == expect[r["doc_id"]]
+
+
+def test_concat_chunks_zero_len_doc(spark):
+    df = _docs(spark, [(1, 4), (2, 0), (3, 1)])
+    out = {r["doc_id"]: r for r in
+           pack_concat_chunks(df, "doc_id", "n_tokens", 4).collect()}
+    # empty doc sits at offset 4 == boundary; last_seq clamps to first_seq
+    assert out[2]["first_seq"] == out[2]["last_seq"] == 1
+    assert out[2]["n_splits"] == 0
+
+
+def test_ffd_capacity_and_determinism(spark):
+    rows = [(i, (i * 31) % 50 + 1) for i in range(300)]
+    df = _docs(spark, rows)
+    a = pack_bins_first_fit(df, "doc_id", "n_tokens", 64, n_groups=8)
+    rows_a = a.collect()
+    assert len(rows_a) == 300 and not any(r["overflow"] for r in rows_a)
+    fills = {}
+    for r in rows_a:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(f <= 64 for f in fills.values())
+    b = pack_bins_first_fit(df, "doc_id", "n_tokens", 64, n_groups=8)
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, b.collect()))
+
+
+def test_ffd_oversized_doc_gets_own_bin(spark):
+    df = _docs(spark, [(1, 100), (2, 10), (3, 10)])
+    out = {r["doc_id"]: r for r in
+           pack_bins_first_fit(df, "doc_id", "n_tokens", 64, n_groups=1)
+           .collect()}
+    assert out[1]["overflow"]
+    assert out[1]["bin_id"] not in (out[2]["bin_id"], out[3]["bin_id"])
+    assert not out[2]["overflow"] and not out[3]["overflow"]
+
+
+def test_ffd_beats_next_fit(spark):
+    # Classic FFD win: sizes 6,5,5,4,4,3,3 into capacity 10.
+    # Next-fit in id order: [6]... -> 5 bins; FFD -> 3 bins (6+4, 5+5, 4+3+3).
+    rows = list(enumerate([6, 5, 5, 4, 4, 3, 3], start=1))
+    df = _docs(spark, rows)
+    out = pack_bins_first_fit(df, "doc_id", "n_tokens", 10, n_groups=1)
+    st = pack_bins_stats(out, 10).first()
+    assert st["n_bins"] == 3
+    assert st["padding_frac"] == pytest.approx(0.0)
+
+
+def test_pack_invalid_params(spark):
+    df = _docs(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        pack_concat_chunks(df, "doc_id", "n_tokens", 0)
+    with pytest.raises(ValueError):
+        pack_bins_first_fit(df, "doc_id", "n_tokens", 0)
+    with pytest.raises(ValueError):
+        pack_bins_first_fit(df, "doc_id", "n_tokens", 8, n_groups=0)
