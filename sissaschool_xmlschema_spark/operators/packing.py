@@ -14,10 +14,15 @@ Two tiers, mirroring how real pipelines pack:
     deterministic document order, split every ``seq_len`` tokens; documents
     may straddle sequence boundaries.  The global token offset of each
     document is an order-preserving prefix sum, computed scalably as a
-    two-phase sum (per-range-partition window cumsum, then O(#partitions)
-    partition offsets collected and broadcast back) — NO single-partition
-    global window, so the plan survives a 100 TB corpus.  Pure prefix-sum
-    math ⇒ SQL-oracle-able.
+    two-phase sum: rows are assigned a *value-derived* bucket (monotone
+    ``width_bucket`` over the order column — deterministic across jobs,
+    unlike ``spark_partition_id`` after ``repartitionByRange``, whose
+    sampled boundaries can differ between the totals action and the window
+    action), bucket totals are collected (O(#buckets)) and broadcast back as
+    exclusive offsets, and the within-bucket cumsum is a single hash-
+    partitioned window — ONE exchange, NO single-partition global window,
+    so the plan survives a 100 TB corpus.  Pure prefix-sum math ⇒
+    SQL-oracle-able.
 
 ``pack_bins_first_fit``
     No-split bin packing (each document lands whole in one sequence,
@@ -44,12 +49,16 @@ def pack_concat_chunks(
     tok_col: str,
     seq_len: int,
     order_col: Optional[str] = None,
+    n_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Per-document layout under concatenate-and-chunk packing.
 
-    ``order_col`` (default ``id_col``) defines the corpus order and must be
-    unique — ties across range-partition boundaries would make the prefix
-    sum partitioning-dependent.
+    ``order_col`` (default ``id_col``) defines the corpus order; it must be
+    numeric, non-null and unique.  Buckets are uniform value slices of its
+    [min, max] range (``width_bucket``), so bucket balance tracks key
+    uniformity — dense ids and event timestamps are near-uniform; for a
+    heavily skewed order key pass a larger ``n_buckets`` (only balance, not
+    correctness, depends on it).
 
     Returns one row per document: ``(id_col, n_tokens, start_tok,
     first_seq, last_seq, n_splits)`` where ``start_tok`` is the document's
@@ -60,40 +69,59 @@ def pack_concat_chunks(
         raise ValueError("seq_len must be positive")
     order_col = order_col or id_col
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    base = (
-        df.select(id_col, F.col(tok_col).cast("long").alias("n_tokens"),
-                  order_col)
-        .repartitionByRange(n_parts, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
+    # O(1) driver row: the order column's range (scan is pruned to one col).
+    rng = df.agg(
+        F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
+    ).first()
+    if rng["mn"] is None:  # empty input
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, n_tokens long, start_tok long, "
+            "first_seq long, last_seq long, n_splits long",
+        )
+
+    bucket = F.width_bucket(
+        F.col(order_col),
+        F.lit(rng["mn"]),
+        F.lit(rng["mx"]) + F.lit(1),
+        F.lit(n_buckets),
+    ).alias("_bkt")
+    base = df.select(
+        id_col,
+        F.col(tok_col).cast("long").alias("n_tokens"),
+        order_col,
+        bucket,
     )
 
-    # Phase 1: O(#partitions) totals to the driver — the only driver-side
-    # data, independent of row count.  Computed as a plain aggregate (no
-    # window) so the scan stays column-pruned and nothing needs caching.
+    # Phase 1: O(#buckets) totals to the driver — the only driver-side data,
+    # independent of row count.  The bucket is a pure function of the order
+    # value, so this action and the window action below agree by
+    # construction (no partitioner-sampling dependence).
     totals = {
-        r["_pid"]: r["_tot"]
-        for r in base.groupBy("_pid")
+        r["_bkt"]: r["_tot"]
+        for r in base.groupBy("_bkt")
         .agg(F.sum("n_tokens").alias("_tot"))
         .collect()
     }
     running = 0
     offsets = []
-    for pid in sorted(totals):
-        offsets.append((pid, running))
-        running += int(totals[pid] or 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    for bkt in sorted(totals):
+        offsets.append((int(bkt), running))
+        running += int(totals[bkt] or 0)
+    off_df = spark.createDataFrame(offsets, "_bkt long, _off long")
 
-    # Phase 2: within-partition cumsum + broadcast offset join.
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    # Phase 2: within-bucket cumsum (one hash exchange) + broadcast offsets.
+    w = Window.partitionBy("_bkt").orderBy(order_col)
     local = base.withColumn("_local_end", F.sum("n_tokens").over(w))
     start = F.col("_off") + F.col("_local_end") - F.col("n_tokens")
     end_m1 = F.greatest(start, start + F.col("n_tokens") - F.lit(1))
     first_seq = F.floor(start / seq_len)
     last_seq = F.floor(end_m1 / seq_len)
     return (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(off_df), "_bkt")
         .select(
             id_col,
             F.col("n_tokens"),
