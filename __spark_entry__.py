@@ -1106,6 +1106,21 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe.bpe_token_counts(_docs(spark, sf_dir), "doc_id", "text", merges)
 
 
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM quality score (KenLM-style filter, unigram so it stays
+    exactly SQL-replicable): corpus-trained top-1000 vocab with add-0.5
+    smoothing, per-doc mean token log-probability via broadcast vocab join,
+    rounded to 6 dp so double summation order can't perturb the hash."""
+    from sissaschool_xmlschema_spark.functions.lm_score import (
+        lm_quality,
+        train_unigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab, oov = train_unigram_lm(docs, "text", vocab_size=1000, alpha=0.5)
+    return lm_quality(docs, "doc_id", "text", vocab, oov)
+
+
 def q_pack_chunks(spark, sf_dir):
     """Concatenate-and-chunk packing layout over the document corpus:
     global token offsets via the scalable two-phase prefix sum (no
@@ -1217,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "pack_chunks": q_pack_chunks,
         "pack_bins": q_pack_bins,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -1815,6 +1831,25 @@ SELECT vec_id, ROUND(cos, 6) AS cos FROM (
             * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM b, q WHERE b.bucket = q.qb
 ) ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+    sql["lm_quality"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) + 0.5 * 1001 AS denom FROM cnt),
+vocab AS (
+  SELECT tok, ln((c + 0.5) / (SELECT denom FROM tot)) AS logp
+  FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(COALESCE(v.logp, ln(0.5 / (SELECT denom FROM tot)))), 6)
+         AS avg_logp
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id
 """
 
     sql["pack_chunks"] = """

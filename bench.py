@@ -187,6 +187,10 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "pipeline_keep_fast",
         "decontam_fast",
         "pii_scan",
+        "span_dedup_fast",
+        "pack_chunks",
+        "pack_bins",
+        "bpe_tokens",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
