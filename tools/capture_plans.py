@@ -99,6 +99,8 @@ def main() -> None:
     show("ivf_topk pruned scan", e.q_ivf_topk(spark, sf))
     show("lang_id_model mapInPandas", e.q_lang_id_model(spark, sf))
     show("decontamination broadcast gram join", e.q_decontam_fast(spark, sf))
+    show("pack_chunks two-phase prefix sum", e.q_pack_chunks(spark, sf))
+    show("lm_quality broadcast vocab join", e.q_lm_quality(spark, sf))
 
 
 if __name__ == "__main__":
