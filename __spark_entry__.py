@@ -1147,6 +1147,51 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins_first_fit(docs, "doc_id", "n_tokens", 2048, n_groups=64)
 
 
+def q_xml_encode(spark, sf_dir):
+    """XML encode sink (reference iter_encode/encode,
+    validators/schemas.py:1660-1795): each turn rendered as one <turn>
+    element by Spark's JVM StAX generator — row-local, zero shuffle.  The
+    oracle rebuilds the byte-identical string in SQL (shared escaping
+    contract in sources/xml_io.py), proving the rendering is deterministic
+    and portable.  Timestamp-free projection: ts STRING rendering is
+    session-timezone-dependent; typed ts equality is xml_roundtrip's job."""
+    from sissaschool_xmlschema_spark.sources.xml_io import encode_turn_xml
+
+    t = _t(spark, sf_dir).filter(F.col("turn_idx") < 3)
+    enc = encode_turn_xml(t, cols=["conv_id", "turn_idx", "role", "text", "tool"])
+    return enc.select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "xml"
+    )
+
+
+def q_xml_roundtrip(spark, sf_dir):
+    """North-rule row invariant through a full XML encode→decode cycle:
+    per-turn text equality under (conv_id, turn_idx).  Encode every turn to
+    XML (microsecond timestamps, UTC), parse it back with the PERMISSIVE
+    corrupt-record channel, and return the typed columns — the oracle is
+    the straight CTE selection, so any rendering/parsing asymmetry
+    (escaping, whitespace trim, precision loss) breaks the hash."""
+    from sissaschool_xmlschema_spark.sources.xml_io import (
+        TURN_SCHEMA_DDL_NTZ,
+        decode_turn_xml,
+        encode_turn_xml,
+    )
+
+    t = _t(spark, sf_dir).filter(F.col("turn_idx") < 3)
+    enc = encode_turn_xml(t)
+    # parquet event timestamps are naive (TIMESTAMP_NTZ) — decode with the
+    # matching NTZ schema so the typed value roundtrips exactly
+    dec = decode_turn_xml(enc.select("xml"), schema_ddl=TURN_SCHEMA_DDL_NTZ)
+    return dec.filter(F.col("_corrupt_record").isNull()).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1233,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "pack_bins": q_pack_bins,
         "lm_quality": q_lm_quality,
+        "xml_encode": q_xml_encode,
+        "xml_roundtrip": q_xml_roundtrip,
     }
 
 
@@ -2417,4 +2464,19 @@ WHERE ({_hex8}) % 1000000 <
     # sample_stratified_fast: no oracle — xxhash64 draws a different (equally
     # valid) deterministic sample; DuckDB cannot replicate Spark's string
     # xxhash64, and unlike decontam_fast the hash DETERMINES the output rows
+
+    from sissaschool_xmlschema_spark.sources.xml_io import oracle_turn_xml_sql
+
+    sql["xml_encode"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       {oracle_turn_xml_sql(ts=None)} AS xml
+FROM t WHERE turn_idx < 3
+"""
+
+    sql["xml_roundtrip"] = f"""
+WITH t AS ({_CTE})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts
+FROM t WHERE turn_idx < 3
+"""
     return sql
