@@ -1192,6 +1192,95 @@ def q_xml_roundtrip(spark, sf_dir):
     )
 
 
+def q_lm_quality2(spark, sf_dir):
+    """Bigram-LM quality score: P(w | prev) with add-0.5 smoothing over a
+    closed 500-token vocab (OOV → '<unk>', BOS '<s>'), top-5000 bigram
+    table with per-context backoff.  Pairs are built row-locally (array
+    transform — zero shuffle), the model rides three broadcast joins, and
+    the per-doc average is map-side partial.  Fully SQL-replicable →
+    hash-matched oracle."""
+    from sissaschool_xmlschema_spark.functions.lm_score import (
+        lm_quality_bigram,
+        train_bigram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vt, bg, cx, floor = train_bigram_lm(
+        docs, "text", vocab_size=500, bigram_size=5000, alpha=0.5
+    )
+    return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
+
+
+def q_type_alternatives(spark, sf_dir):
+    """XSD 1.1 conditional type assignment (XsdAlternative,
+    elements.py:1450-1476; first-match selection :1338-1361): the tool
+    column's effective type depends on role — 'tool' turns require a tool,
+    'assistant' turns must reference a well-formed one, everything else is
+    prohibited from carrying one.  The whole cascade compiles to
+    predicate-gated Column checks in the SAME single row-local pass (no
+    per-row branching); violations grouped by gated constraint id."""
+    spec = S.TableSpec(
+        name="transcripts",
+        columns=(
+            S.ColumnSpec(
+                "tool",
+                facets=(S.Prohibited(),),
+                alternatives=(
+                    S.TypeAlternative(
+                        test="role = 'tool'", facets=(S.Required(),), name="call"
+                    ),
+                    S.TypeAlternative(
+                        test="role IN ('tool', 'assistant')",
+                        facets=(S.Pattern(("tool-[0-9]{3}",)),),
+                        name="ref",
+                    ),
+                ),
+            ),
+        ),
+    )
+    res = validate(_t(spark, sf_dir), spec)
+    return res.violations.groupBy("constraint_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_quality_clf_score(spark, sf_dir):
+    """Trained-classifier quality scoring (functions/quality_clf.py):
+    σ(w·x + b) over six Column-only text features with the published
+    REFERENCE_MODEL weights — a row-local projection, SQL-replicable so
+    the oracle hash-matches.  Training itself (iterative distributed
+    gradient descent) is pytest-verified in tests/test_quality_clf.py."""
+    from sissaschool_xmlschema_spark.functions.quality_clf import (
+        REFERENCE_MODEL,
+        doc_features,
+        score_quality_clf,
+    )
+
+    feats = doc_features(_docs(spark, sf_dir), "doc_id", "text")
+    return score_quality_clf(feats, REFERENCE_MODEL).select(
+        "doc_id", "quality_p"
+    )
+
+
+def q_skew_hitters(spark, sf_dir):
+    """Heavy-hitter keys for the (conv_id-scoped) shuffle stages: exact
+    top-N role keys with corpus share (operators/skew.py).  One groupBy
+    carrying one count per distinct key + TakeOrderedAndProject — the
+    measurement that decides when the engine's opt-in salting pays."""
+    from sissaschool_xmlschema_spark.operators.skew import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir), "role", top_n=5)
+
+
+def q_skew_summary(spark, sf_dir):
+    """One-row skew summary of the role key distribution: skew_ratio (max
+    key mass over mean key mass) and top-share — feeds suggest_salt(),
+    the engine's explicit skew-handling decision rule (north rule)."""
+    from sissaschool_xmlschema_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir), "role", top_n=3)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1280,6 +1369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "xml_encode": q_xml_encode,
         "xml_roundtrip": q_xml_roundtrip,
+        "skew_hitters": q_skew_hitters,
+        "skew_summary": q_skew_summary,
+        "lm_quality2": q_lm_quality2,
+        "quality_clf_score": q_quality_clf_score,
+        "type_alternatives": q_type_alternatives,
     }
 
 
@@ -2478,5 +2572,126 @@ FROM t WHERE turn_idx < 3
 WITH t AS ({_CTE})
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts
 FROM t WHERE turn_idx < 3
+"""
+
+    sql["skew_hitters"] = f"""
+WITH t AS ({_CTE}),
+c AS (SELECT role AS key, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY role),
+tot AS (SELECT SUM(n) AS total FROM c)
+SELECT key, n, ROUND(n / (SELECT total FROM tot), 9) AS share
+FROM c ORDER BY n DESC, key ASC NULLS LAST LIMIT 5
+"""
+
+    sql["skew_summary"] = f"""
+WITH t AS ({_CTE}),
+c AS (SELECT role AS key, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY role),
+top AS (SELECT CAST(SUM(n) AS BIGINT) AS top_n_rows FROM
+        (SELECT n FROM c ORDER BY n DESC, key ASC NULLS LAST LIMIT 3))
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_n,
+       ROUND(SUM(n) / COUNT(*), 9) AS avg_key_n,
+       ROUND(MAX(n) * COUNT(*) / SUM(n), 9) AS skew_ratio,
+       ROUND((SELECT top_n_rows FROM top) / SUM(n), 9) AS top_share
+FROM c
+"""
+
+    # bigram LM: lag window reproduces the row-local pair transform; the
+    # vocab / bigram-table tie-breaks mirror the Spark orderBy exactly
+    sql["lm_quality2"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS cur,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS i
+  FROM documents),
+pr0 AS (
+  SELECT doc_id,
+         coalesce(lag(cur) OVER (PARTITION BY doc_id ORDER BY i), '<s>') AS prev,
+         cur
+  FROM tok),
+uc AS (SELECT cur AS tok, COUNT(*) AS c FROM pr0 GROUP BY cur),
+vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok ASC LIMIT 500),
+pr AS (
+  SELECT doc_id,
+         CASE WHEN prev = '<s>' OR prev IN (SELECT tok FROM vocab)
+              THEN prev ELSE '<unk>' END AS prev,
+         CASE WHEN cur IN (SELECT tok FROM vocab)
+              THEN cur ELSE '<unk>' END AS cur
+  FROM pr0),
+vc AS (SELECT CAST(COUNT(*) + 2 AS DOUBLE) AS v FROM vocab),
+ctx AS (SELECT prev, COUNT(*) AS c1 FROM pr GROUP BY prev),
+big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pr GROUP BY prev, cur
+        ORDER BY c2 DESC, prev ASC, cur ASC LIMIT 5000),
+sc AS (
+  SELECT p.doc_id,
+         coalesce(
+           ln((b.c2 + 0.5) / (c.c1 + 0.5 * (SELECT v FROM vc))),
+           ln(0.5 / (c.c1 + 0.5 * (SELECT v FROM vc))),
+           ln(1.0 / (SELECT v FROM vc))) AS logp
+  FROM pr p
+  LEFT JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+  LEFT JOIN ctx c ON p.prev = c.prev)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(logp), 6) AS avg_logp2
+FROM sc GROUP BY doc_id
+"""
+
+    # trained-classifier scoring with the published REFERENCE_MODEL weights
+    # (identity standardization, so the formula is literal); the feature
+    # definitions mirror functions/quality_clf.py + text.py exactly
+    _stoplist = ", ".join(f"'{s}'" for s in (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "as", "with", "at", "by", "this", "be", "are",
+    ))
+    sql["quality_clf_score"] = f"""
+WITH tk AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS ltoks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    ln(len(toks) + 1.0) AS f1,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+           AS DOUBLE) / len(toks) ELSE 0.0 END AS f2,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           AS DOUBLE) / length(text) ELSE 0.0 END AS f3,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, x -> x IN ({_stoplist})))
+           AS DOUBLE) / len(ltoks) ELSE 0.0 END AS f4,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+           AS DOUBLE) / length(text) ELSE 0.0 END AS f5,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+           AS DOUBLE) / length(text) ELSE 0.0 END AS f6
+  FROM tk)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(-1.0 + 0.8*f1 + 0.3*f2 - 2.0*f3
+                                + 1.5*f4 - 1.0*f5 - 0.5*f6))), 6)
+         AS quality_p
+FROM f
+"""
+
+    # conditional type assignment: first-match-wins arm gates as CASE order
+    sql["type_alternatives"] = f"""
+WITH t AS ({_CTE}),
+v AS (
+  SELECT CASE
+    WHEN role = 'tool' AND tool IS NULL
+      THEN 'facet:tool:Required@call'
+    WHEN role <> 'tool' AND role IN ('tool', 'assistant')
+         AND tool IS NOT NULL
+         AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+      THEN 'facet:tool:Pattern@ref'
+    WHEN role NOT IN ('tool', 'assistant') AND tool IS NOT NULL
+      THEN 'facet:tool:Prohibited@default'
+  END AS constraint_id
+  FROM t)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM v WHERE constraint_id IS NOT NULL
+GROUP BY constraint_id
 """
     return sql

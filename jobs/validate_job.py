@@ -38,6 +38,10 @@ def main() -> int:
                          "mode, e.g. \"to_date(ts)\" or "
                          "\"pmod(hash(conv_id), 64)\"")
     ap.add_argument("--mode", default="lax", choices=("lax", "strict"))
+    ap.add_argument("--input-format", default=None,
+                    choices=("parquet", "iceberg", "xml"),
+                    help="explicit source format (REQUIRED for remote URIs; "
+                         "'xml' validates raw XML documents directly)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,15 +56,14 @@ def main() -> int:
 
     from sissaschool_xmlschema_spark.plans.checkpoint import run_checkpointed
     from sissaschool_xmlschema_spark.plans.runner import validate
+    from sissaschool_xmlschema_spark.sources.tables import read_table
     from sissaschool_xmlschema_spark.spec import transcript_spec
     from sissaschool_xmlschema_spark.spec_io import load_spec
 
     spec = load_spec(args.spec) if args.spec else transcript_spec()
-    df = (
-        spark.read.parquet(args.input)
-        if os.path.exists(args.input) or "/" in args.input
-        else spark.table(args.input)
-    )
+    # route by explicit format / URI scheme (sources/tables.py), never by
+    # driver-local os.path probing — remote URIs require --input-format
+    df = read_table(spark, args.input, fmt=args.input_format)
 
     if args.partition_expr:
         results = run_checkpointed(

@@ -63,6 +63,7 @@ from sissaschool_xmlschema_spark.spec import (  # noqa: F401
     TableSpec,
     TotalDigits,
     Transition,
+    TypeAlternative,
     Unique,
     UnionOf,
     WhiteSpace,

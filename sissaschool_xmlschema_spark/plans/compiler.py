@@ -60,26 +60,57 @@ def compile_plan(spec: S.TableSpec) -> CompiledPlan:
     the skip-mode short-circuit (simple_types.py:710-714) costs nothing at run
     time because the predicate is never emitted."""
     row_checks: List[RowCheck] = []
-    for col in spec.columns:
-        for facet in col.facets:
-            if facet.mode == "skip":
-                continue
-            ok, reason = lower_facet(facet, col.name)
-            if getattr(col, "when", None):
-                # xsi:type-style conditional column: facets apply only where
-                # the discriminator predicate holds (elements.py:657-682)
-                ok = ~Fn.expr(col.when) | ok
-                reason = f"{reason} (where {col.when})"
-            row_checks.append(
-                RowCheck(
-                    constraint_id=facet_id(facet, col.name),
-                    path=f"{spec.name}/{col.name}",
-                    column=col.name,
-                    ok=ok,
-                    reason=reason,
-                    value_col=col.name,
-                )
+
+    def emit(col, facet, gate: Column = None, tag: str = "") -> None:
+        if facet.mode == "skip":
+            return
+        ok, reason = lower_facet(facet, col.name)
+        if getattr(col, "when", None):
+            # xsi:type-style conditional column: facets apply only where
+            # the discriminator predicate holds (elements.py:657-682)
+            ok = ~Fn.expr(col.when) | ok
+            reason = f"{reason} (where {col.when})"
+        if gate is not None:
+            ok = ~gate | ok
+        cid = facet_id(facet, col.name) + tag
+        row_checks.append(
+            RowCheck(
+                constraint_id=cid,
+                path=f"{spec.name}/{col.name}",
+                column=col.name,
+                ok=ok,
+                reason=reason,
+                value_col=col.name,
             )
+        )
+
+    def test_col(test: str) -> Column:
+        # NULL test results select nothing, like an XPath test that raises
+        return Fn.coalesce(Fn.expr(test), Fn.lit(False))
+
+    for col in spec.columns:
+        alts = tuple(getattr(col, "alternatives", ()) or ())
+        if not alts:
+            for facet in col.facets:
+                emit(col, facet)
+            continue
+        # XSD 1.1 conditional type assignment (get_alternative_type,
+        # elements.py:1338-1361): FIRST arm whose test matches selects that
+        # arm's facets; test=None always matches; the column's own facets
+        # are the declared default type.  Lowered to first-match-wins gates
+        # fused into the same single row-local pass.
+        not_earlier = Fn.lit(True)
+        for i, alt in enumerate(alts):
+            matches = (
+                Fn.lit(True) if alt.test is None else test_col(alt.test)
+            )
+            gate = not_earlier & matches
+            arm = alt.name or f"alt{i}"
+            for facet in alt.facets:
+                emit(col, facet, gate=gate, tag=f"@{arm}")
+            not_earlier = not_earlier & ~matches
+        for facet in col.facets:
+            emit(col, facet, gate=not_earlier, tag="@default")
     for ra in getattr(spec, "row_assertions", ()):
         # extra_validator analogue (validation.py:494-498) as a whole-row
         # SQL predicate, fused into the same single projection pass

@@ -130,6 +130,9 @@ def read_table(
       runtime): catalog read, optionally time-travel pinned to
       ``snapshot_id``.
     * ``fmt='parquet'`` / local path: parquet scan.
+    * ``fmt='xml'``: XML document ingestion (sources/xml_io.py — turn
+      schema enforced, PERMISSIVE corrupt-record channel dropped here so
+      downstream specs see the canonical columns).
     * bare identifier without Iceberg: catalog ``spark.table``.
     """
     resolved = resolve_format(source, fmt, has_iceberg(spark))
@@ -142,6 +145,10 @@ def read_table(
         raise ValueError("snapshot pinning requires an Iceberg runtime")
     if resolved == "table":
         return spark.table(source)
+    if resolved == "xml":
+        from sissaschool_xmlschema_spark.sources.xml_io import read_xml_source
+
+        return read_xml_source(spark, source).drop("_corrupt_record")
     if resolved != "parquet":
         raise ValueError(f"unsupported fmt {resolved!r}")
     return spark.read.parquet(source)

@@ -240,6 +240,21 @@ class NotInSet(Facet):
 
 
 @dataclass(frozen=True)
+class TypeAlternative:
+    """One ``xs:alternative`` arm (XSD 1.1 conditional type assignment,
+    ``XsdAlternative`` elements.py:1450-1476): a SQL ``test`` predicate over
+    the row plus the facet set of the type that arm selects.
+
+    ``test=None`` is the unconditional arm — the reference's
+    ``alt.token is None`` case (elements.py:1356-1359), which always
+    matches and so shadows every later arm."""
+
+    facets: Sequence["Facet"] = ()
+    test: Optional[str] = None
+    name: str = ""
+
+
+@dataclass(frozen=True)
 class ColumnSpec:
     """One column's simple-type: facets applied in the reference's decode order
     (normalize → lexical patterns → value-space validators,
@@ -248,11 +263,20 @@ class ColumnSpec:
     ``when`` makes the whole column's facets conditional on a row predicate —
     the flat-table analogue of xsi:type dynamic type resolution
     (elements.py:657-682): the effective type of a value depends on other
-    columns of the row."""
+    columns of the row.
+
+    ``alternatives`` is the full XSD 1.1 conditional-type machinery
+    (``get_alternative_type``, elements.py:1338-1361): the FIRST arm whose
+    ``test`` matches the row selects that arm's facets; when no arm
+    matches, the column's own ``facets`` act as the declared default type
+    (the ``return self.type`` fallback).  The compiler lowers the whole
+    cascade into predicate-gated Column checks fused into the same
+    single row-local pass — no branching at execution time."""
 
     name: str
     facets: Sequence[Facet] = ()
     when: Optional[str] = None
+    alternatives: Sequence[TypeAlternative] = ()
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,20 @@ def spec_to_dict(spec: S.TableSpec) -> dict:
                 "name": c.name,
                 "facets": [_kinded(f) for f in c.facets],
                 **({"when": c.when} if c.when else {}),
+                **(
+                    {
+                        "alternatives": [
+                            {
+                                "test": a.test,
+                                "name": a.name,
+                                "facets": [_kinded(f) for f in a.facets],
+                            }
+                            for a in c.alternatives
+                        ]
+                    }
+                    if getattr(c, "alternatives", ())
+                    else {}
+                ),
             }
             for c in spec.columns
         ],
@@ -130,6 +144,16 @@ def spec_from_dict(d: Mapping[str, Any]) -> S.TableSpec:
                 c["name"],
                 tuple(_facet_from_dict(f) for f in c.get("facets", ())),
                 when=c.get("when"),
+                alternatives=tuple(
+                    S.TypeAlternative(
+                        facets=tuple(
+                            _facet_from_dict(f) for f in a.get("facets", ())
+                        ),
+                        test=a.get("test"),
+                        name=a.get("name", ""),
+                    )
+                    for a in c.get("alternatives", ())
+                ),
             )
             for c in d.get("columns", ())
         ),

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import Iterator, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -424,4 +424,32 @@ def session_turn_counts(
             "n_turns",
             "n_user",
         )
+    )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key and
+    drops re-deliveries that land within the watermark horizon — the
+    streaming analogue of the exact-dedup groupBy (operators/dedup.py) and
+    the ingest-side guard for the (conv_id, turn_idx) uniqueness constraint
+    on append-only transcript streams: an at-least-once upstream (Kafka
+    replay, Iceberg re-read) cannot double-count a turn it delivers twice.
+
+    State is O(distinct keys within the horizon), not O(stream) — the
+    property that makes it safe on an unbounded 10^12-turn feed; exact
+    duplicates older than ``delay`` are the batch layer's job (the
+    engine's Unique counter reports them from the table itself).  On a
+    batch DataFrame this degrades to plain ``dropDuplicates`` semantics.
+    """
+    if not stream_df.isStreaming:
+        return stream_df.dropDuplicates(list(keys))
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
     )

@@ -378,3 +378,52 @@ def test_incremental_verdicts_count_identity_and_facets(spark, tmp_path):
     assert verd["c1"][1] == "invalid"
     # c2: bad role enum (batch 1) → invalid even though occurs is satisfied
     assert verd["c2"][1] == "invalid"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A turn re-delivered in a later micro-batch within the watermark is
+    dropped; distinct keys all pass (at-least-once ingest guard)."""
+    from sissaschool_xmlschema_spark.streaming.incremental import stream_dedup
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    src = str(tmp_path / "dd")
+    spark.createDataFrame(
+        [("c1", 0, "user", "a", None, TS), ("c1", 1, "assistant", "b", None, TS)],
+        schema,
+    ).repartition(1).write.parquet(src + "/f1.parquet")
+    # batch 2 re-delivers (c1, 1) and adds (c2, 0)
+    spark.createDataFrame(
+        [("c1", 1, "assistant", "b", None, TS), ("c2", 0, "user", "c", None, TS)],
+        schema,
+    ).repartition(1).write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_dedup(stream, keys=("conv_id", "turn_idx"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckdd"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select conv_id, turn_idx from dedup_out order by conv_id, turn_idx"
+    ).collect()
+    assert [(r.conv_id, r.turn_idx) for r in rows] == [
+        ("c1", 0), ("c1", 1), ("c2", 0),
+    ]
+    # batch fallback: plain dropDuplicates semantics
+    batch = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, TS), ("c1", 0, "user", "a", None, TS)],
+        schema,
+    )
+    assert stream_dedup(batch).count() == 1

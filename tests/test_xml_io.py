@@ -164,3 +164,16 @@ def test_validate_xml_input_end_to_end(spark, tmp_path):
     vx = sorted(map(tuple, res_xml.violations.select(*key).collect()))
     vp = sorted(map(tuple, res_pq.violations.select(*key).collect()))
     assert vx == vp and len(vx) > 0
+
+
+def test_read_table_xml_route(spark, tmp_path):
+    """The table access layer routes fmt='xml' through the XML source and
+    drops the corrupt-record channel (canonical columns for specs)."""
+    from sissaschool_xmlschema_spark.sources.tables import read_table
+
+    df = tricky_df(spark)
+    path = str(tmp_path / "via_table")
+    write_xml_sink(df, path)
+    back = read_table(spark, path, fmt="xml")
+    assert "_corrupt_record" not in back.columns
+    assert back.count() == len(TRICKY_ROWS)
