@@ -39,22 +39,37 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
 
+def _key_counts(df: DataFrame, key: str):
+    """One groupBy producing per-key counts; the grand total re-aggregates
+    the SAME counts frame, so AQE's ReusedExchange serves both consumers
+    from one shuffle and the raw table is scanned exactly once (verified
+    in tests/test_skew.py on the final adaptive plan).  NULL keys count as
+    a key: an all-NULL join column is the worst skew there is.
+
+    (A ``rollup`` would compute both grouping sets in one aggregate, but
+    Catalyst pushes the grouping-id filters below the aggregate into the
+    Expand, making the two subtrees differ — which BLOCKS exchange reuse
+    and doubles the scan.  Measured, not guessed.)
+    """
+    per_key = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = per_key.agg(F.sum("n").alias("_total"))
+    return per_key, total
+
+
 def heavy_hitters(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     """Top-``top_n`` keys by row count: ``(key, n, share)``.
 
     One partial-aggregated groupBy (executors ship one count per distinct
-    key) followed by ``TakeOrderedAndProject`` — no full sort; the total
-    for ``share`` re-aggregates the already-tiny per-key counts (broadcast
-    back), so the raw table is scanned exactly once.  ``share`` is rounded
-    to 9 dp so double division cannot perturb a value hash.  NULL keys
-    count as a key: an all-NULL join column is the worst skew there is.
+    key) followed by ``TakeOrderedAndProject`` — no full sort; the grand
+    total for ``share`` reuses the counts exchange (broadcast back), so
+    the raw table is scanned exactly once.  ``share`` is rounded to 9 dp
+    so double division cannot perturb a value hash.
     """
-    counts = df.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    total = counts.agg(F.sum("n").alias("_total"))
+    per_key, total = _key_counts(df, key)
     return (
-        counts.orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
+        per_key.orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
         .limit(top_n)
         .crossJoin(F.broadcast(total))
         .select(
@@ -78,17 +93,16 @@ def skew_report(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     keys their own plan", not just salting.
 
     Two aggregations over the one-count-per-key frame (tiny after the
-    first groupBy); everything is exact integers + one rounded double.
+    groupBy, whose exchange every consumer reuses); everything is exact
+    integers + one rounded double.
     """
-    counts = df.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    per_key, _ = _key_counts(df, key)
     top = (
-        counts.orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
+        per_key.orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
         .limit(top_n)
         .agg(F.sum("n").alias("top_n_rows"))
     )
-    summary = counts.agg(
+    summary = per_key.agg(
         F.sum("n").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_key_n"),

@@ -49,6 +49,22 @@ def test_suggest_salt_rule(spark):
     ) == 4
 
 
+def test_single_scan_via_exchange_reuse(spark, tmp_path):
+    """The share total must reuse the counts exchange: exactly ONE scan of
+    the raw table in the FINAL adaptive plan (AQE materializes
+    ReusedExchange at runtime, so pre-execution plans mislead)."""
+    src = str(tmp_path / "keys")
+    spark.range(10000).select(
+        (F.col("id") % 13).cast("string").alias("key")
+    ).write.parquet(src)
+    out = heavy_hitters(spark.read.parquet(src), "key", top_n=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+
+
 def test_topn_is_not_a_global_sort(spark):
     """heavy_hitters must plan as TakeOrderedAndProject (bounded top-N),
     never a full Sort+Exchange of all distinct keys."""
