@@ -261,7 +261,12 @@ def main() -> int:
             "pair queries still enumerate O(cluster^2) TRUE pairs on this "
             "duplicate-dense corpus (~8.5M pairs at sf0.1), which is why "
             "dedup_keep_fast (the O(n) keep-list production shape) is the "
-            "dedup headline"
+            "dedup headline; late-r3 additions (all oracle-green): "
+            "lm_quality2 (bigram LM, broadcast-only joins), "
+            "quality_clf_score (trained logistic filter, zero-exchange "
+            "scoring), skew_summary (one-scan skew diagnostics via "
+            "exchange reuse), xml_roundtrip (encode->decode per-turn "
+            "equality through Spark's native XML)"
         )
     print(json.dumps(result))
     return 0
