@@ -172,6 +172,12 @@ def incremental_source(
     drive.
     """
     resolved = resolve_format(source, fmt, has_iceberg(spark))
+    if resolved == "xml":
+        from sissaschool_xmlschema_spark.sources.xml_io import xml_stream_source
+
+        return xml_stream_source(
+            spark, source, max_files_per_trigger=max_files_per_trigger
+        )
     if resolved == "iceberg":
         reader = spark.readStream.format("iceberg")
         for key, val in iceberg_stream_options(from_timestamp_ms).items():
@@ -189,3 +195,41 @@ def incremental_source(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source)
+
+
+def write_production_layout(
+    df: DataFrame,
+    table_name: str,
+    scope_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write the validation-optimized physical layout as a catalog table.
+
+    The single biggest scale lever the engine has (PLANS.md §1-4, BENCH):
+    bucketing by the identity scope + write-sorting by (scope, order) makes
+    every per-scope stage of the suite — window checks, unique/key
+    groupBys, same-table keyrefs — exchange-free: the whole constraint
+    suite becomes scan+compute.  This is the Spark-bucketed-table analogue
+    of the production Iceberg layout::
+
+        CREATE TABLE ... USING iceberg
+        PARTITIONED BY (days(ts), bucket(64, conv_id))
+        TBLPROPERTIES ('write.distribution-mode' = 'hash')
+        -- + sort order (conv_id, turn_idx)
+
+    Size ``n_buckets`` so one bucket's rows fit an executor's memory at
+    the target scale (10^12 turns / 64 buckets is too coarse — production
+    uses both the date partition and the bucket, so a bucket is per-day).
+    The write itself costs one hash exchange + per-bucket sort; every
+    validation run afterwards saves its exchanges — the classic
+    write-once, read-many trade.
+    """
+    (
+        df.repartition(n_buckets, scope_col)
+        .write.bucketBy(n_buckets, scope_col)
+        .sortBy(scope_col, order_col)
+        .mode(mode)
+        .saveAsTable(table_name)
+    )

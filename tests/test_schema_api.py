@@ -245,3 +245,35 @@ def test_read_table_remote_uri_requires_fmt(spark):
         tables.read_table(spark, "s3://bucket/transcripts")
     with pytest.raises(ValueError, match="explicit fmt"):
         tables.incremental_source(spark, "hdfs://nn/transcripts")
+
+
+def test_write_production_layout_zero_exchange_reads(spark, tmp_path):
+    """write_production_layout produces a bucketed+sorted catalog table;
+    a per-scope groupBy over it plans WITHOUT an Exchange (the engine's
+    single biggest scale lever)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.sources.tables import (
+        write_production_layout,
+    )
+
+    # (warehouse dir is a static conf; the managed table is dropped below,
+    # which removes its files from the session warehouse)
+    df = spark.createDataFrame(
+        [
+            (f"c{i}", j, "user", "t", None, dt.datetime(2024, 1, 1))
+            for i in range(20)
+            for j in range(5)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+    write_production_layout(df, "t_layout_test", n_buckets=4)
+    t = spark.table("t_layout_test")
+    agg = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    assert agg.count() == 20
+    spark.sql("DROP TABLE t_layout_test")

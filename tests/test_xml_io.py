@@ -177,3 +177,52 @@ def test_read_table_xml_route(spark, tmp_path):
     back = read_table(spark, path, fmt="xml")
     assert "_corrupt_record" not in back.columns
     assert back.count() == len(TRICKY_ROWS)
+
+
+def test_xml_stream_validation(spark, tmp_path):
+    """Streaming XML ingestion feeds the incremental validator: a bad role
+    planted in the second batch of documents surfaces as a streaming facet
+    violation (the reference's lazy-iterparse input mode, cluster-shaped)."""
+    from sissaschool_xmlschema_spark.sources.xml_io import xml_stream_source
+    from sissaschool_xmlschema_spark.streaming.incremental import (
+        stream_facet_violations,
+    )
+
+    spec = S.TableSpec(
+        name="transcripts",
+        columns=(
+            S.ColumnSpec(
+                "role", (S.Enumeration(("system", "user", "assistant", "tool")),)
+            ),
+        ),
+    )
+    src = str(tmp_path / "xml_stream")
+    b1 = spark.createDataFrame(
+        [("c1", 0, "user", "a", None, TS)], TURN_SCHEMA_DDL
+    )
+    b2 = spark.createDataFrame(
+        [("c1", 1, "alien", "b", None, TS), ("c2", 0, "system", "c", None, TS)],
+        TURN_SCHEMA_DDL,
+    )
+    write_xml_sink(b1, src + "/b1", mode="overwrite")
+    write_xml_sink(b2, src + "/b2", mode="overwrite")
+
+    stream = xml_stream_source(
+        spark, src + "/*/", max_files_per_trigger=1
+    ).drop("_corrupt_record")
+    out = stream_facet_violations(stream, spec)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xml_viol")
+        .option("checkpointLocation", str(tmp_path / "ckx"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select conv_id, turn_idx, offending_value from xml_viol"
+    ).collect()
+    assert [(r.conv_id, r.turn_idx, r.offending_value) for r in rows] == [
+        ("c1", 1, "alien")
+    ]
