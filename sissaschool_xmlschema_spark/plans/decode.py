@@ -28,12 +28,26 @@ class FieldDecode:
     ``fmt`` applies to date/timestamp targets (to_timestamp/to_date pattern);
     other types use ANSI try_cast.  ``default`` mirrors XSD default values
     (missing → default, elements.py:748-770).
+
+    Decode-side hooks (reference DecodeContext options,
+    validation.py:95-104):
+
+    * ``fill`` — the *filler* analogue: the value substituted where the
+      lexical form FAILED to decode (the failure is still recorded in the
+      failure channel — lax mode keeps going with a placeholder).
+      Distinct from ``default``, which applies to ABSENT (null) values.
+    * ``transform`` — the *value_hook* analogue: a SQL expression over the
+      decoded column (referenced by its own name) applied as the last
+      step, e.g. ``"round(value_col, 2)"`` or ``"upper(role)"``.  Runs in
+      the same row-local projection — no extra pass.
     """
 
     name: str
     dtype: str
     fmt: Optional[str] = None
     default: Optional[object] = None
+    fill: Optional[object] = None
+    transform: Optional[str] = None
 
 
 def _decode_col(fd: FieldDecode) -> Column:
@@ -44,9 +58,23 @@ def _decode_col(fd: FieldDecode) -> Column:
         out = F.try_to_timestamp(c, F.lit(fd.fmt)).cast("date")
     else:
         out = c.try_cast(fd.dtype)
+    if fd.fill is not None:
+        # filler: failed decode (source present, cast null) → placeholder
+        out = F.when(
+            c.isNotNull() & out.isNull(), F.lit(fd.fill).cast(fd.dtype)
+        ).otherwise(out)
     if fd.default is not None:
+        # default: absent value → default (elements.py:748-770)
         out = F.coalesce(out, F.lit(fd.default).cast(fd.dtype))
     return out
+
+
+def _raw_cast(fd: FieldDecode) -> Column:
+    """The bare cast, before fill/default — what the failure channel keys on."""
+    c = F.col(fd.name)
+    if fd.fmt and fd.dtype in ("timestamp", "timestamp_ntz", "date"):
+        return F.try_to_timestamp(c, F.lit(fd.fmt))
+    return c.try_cast(fd.dtype)
 
 
 def decode(
@@ -54,33 +82,45 @@ def decode(
     fields: Sequence[FieldDecode],
     keep_columns: Sequence[str] = (),
     errors_as: str = "dataframe",
+    element_hook=None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Typed decode with a cast-failure side channel, one scan each.
 
     Returns ``(typed, failures)``:
 
     * ``typed`` — the input with each field replaced by its decoded value
-      (NULL where undecodable, default applied), plus ``keep_columns``
-      passed through untouched.
+      (NULL where undecodable unless ``fill`` is set, default applied),
+      per-field ``transform`` hooks applied, then the optional
+      ``element_hook`` (a ``DataFrame → DataFrame`` callable — the
+      whole-element decode hook, validation.py:95-104) over the typed
+      frame; plus ``keep_columns`` passed through untouched.
     * ``failures`` — rows ``(column, offending_value, n)``: each distinct
       undecodable lexical form with its multiplicity, the decode-error
       aggregation (reason strings mirror XMLSchemaDecodeError,
-      exceptions.py:342-369).
+      exceptions.py:342-369).  ``fill`` does NOT hide a failure: the
+      channel keys on the raw cast.
     """
     typed = df.select(
         *[F.col(k) for k in keep_columns],
         *[_decode_col(fd).alias(fd.name) for fd in fields],
     )
+    transforms = {
+        fd.name: F.expr(fd.transform) for fd in fields if fd.transform
+    }
+    if transforms:
+        typed = typed.select(
+            *[
+                transforms.get(c, F.col(c)).alias(c)
+                for c in typed.columns
+            ]
+        )
+    if element_hook is not None:
+        typed = element_hook(typed)
 
     fail_structs = []
     for fd in fields:
         src = F.col(fd.name)
-        decoded = _decode_col(fd)
-        failed = src.isNotNull() & decoded.isNull() if fd.default is None else (
-            src.isNotNull() & src.try_cast(fd.dtype).isNull()
-            if not fd.fmt
-            else src.isNotNull() & F.try_to_timestamp(src, F.lit(fd.fmt)).isNull()
-        )
+        failed = src.isNotNull() & _raw_cast(fd).isNull()
         fail_structs.append(
             F.when(
                 failed,

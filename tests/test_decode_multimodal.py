@@ -113,3 +113,40 @@ def test_multimodal_metadata_only_prunes_payload(spark):
     # payload must not appear in the optimized plan's required columns
     plan = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_decode_filler_and_value_hook(spark):
+    """Decode-side hooks (DecodeContext options, validation.py:95-104):
+    `fill` substitutes a placeholder for FAILED decodes while the failure
+    channel still records them; `transform` (value_hook) rewrites the
+    decoded value in the same projection."""
+    from sissaschool_xmlschema_spark.plans.decode import FieldDecode, decode
+
+    df = spark.createDataFrame(
+        [("1.5",), ("oops",), (None,)], "v string"
+    )
+    typed, failures = decode(
+        df,
+        [FieldDecode("v", "double", fill=-1.0, transform="v * 10")],
+    )
+    vals = sorted((r.v for r in typed.collect()), key=lambda x: (x is None, x))
+    assert vals == [-10.0, 15.0, None]  # fill*10, 1.5*10, absent stays null
+    f = failures.collect()
+    assert [(r.column, r.offending_value, r.n) for r in f] == [("v", "oops", 1)]
+
+
+def test_decode_element_hook(spark):
+    """element_hook: whole-row transform over the typed frame (the decoded-
+    element hook analogue) — runs inside the same plan."""
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.plans.decode import FieldDecode, decode
+
+    df = spark.createDataFrame([("2", "3")], "a string, b string")
+    typed, _ = decode(
+        df,
+        [FieldDecode("a", "int"), FieldDecode("b", "int")],
+        element_hook=lambda d: d.withColumn("a_plus_b", F.col("a") + F.col("b")),
+    )
+    row = typed.first()
+    assert (row.a, row.b, row.a_plus_b) == (2, 3, 5)
