@@ -1211,6 +1211,17 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+def q_sample_exact_k(spark, sf_dir):
+    """Exact per-stratum quota sampling: exactly min(k, |stratum|) docs per
+    language, ranked by the deterministic md5 sample coordinate (ties by
+    id) — one window over partitionBy(lang).  Oracle replicates the rank
+    with the same strpos hex arithmetic as sample_stratified."""
+    from sissaschool_xmlschema_spark.operators.curation import sample_exact_k
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sample_exact_k(docs, "doc_id", "lang", k=25)
+
+
 def q_type_alternatives(spark, sf_dir):
     """XSD 1.1 conditional type assignment (XsdAlternative,
     elements.py:1450-1476; first-match selection :1338-1361): the tool
@@ -1374,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality2": q_lm_quality2,
         "quality_clf_score": q_quality_clf_score,
         "type_alternatives": q_type_alternatives,
+        "sample_exact_k": q_sample_exact_k,
     }
 
 
@@ -2558,6 +2570,19 @@ WHERE ({_hex8}) % 1000000 <
     # sample_stratified_fast: no oracle — xxhash64 draws a different (equally
     # valid) deterministic sample; DuckDB cannot replicate Spark's string
     # xxhash64, and unlike decontam_fast the hash DETERMINES the output rows
+
+    sql["sample_exact_k"] = f"""
+WITH p AS (
+  SELECT doc_id, lang, md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (({_hex8}) % 1000000) ASC, doc_id ASC) AS rk
+  FROM p)
+SELECT doc_id, lang FROM r WHERE rk <= 25
+"""
 
     from sissaschool_xmlschema_spark.sources.xml_io import oracle_turn_xml_sql
 

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sissaschool_xmlschema_spark.functions import text as T
@@ -385,3 +385,43 @@ def stratified_sample(
     for value, r in sorted(rates_ppm.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(int(r))).otherwise(rate)
     return df.filter(ppm < rate)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically.
+
+    Rate-based sampling (:func:`stratified_sample`) keeps a *proportion* —
+    the right tool at corpus scale but the count per stratum is binomial.
+    Benchmark curation often needs an exact quota ("1000 eval docs per
+    language"); this ranks each stratum by the same deterministic per-id
+    hash coordinate (ties broken by id — total order, so retries and
+    resumes return the SAME rows) and keeps the first ``k``.
+
+    Plan: one window over ``partitionBy(stratum)`` — a single hash
+    exchange on the stratum key.  Skew note: a stratum's rows land on one
+    task, so this is for quota-sized outputs (k ≪ stratum); for heavy
+    strata pre-filter with :func:`stratified_sample` at a few× the quota
+    rate first (two-phase: cheap row-local gate, then the exact window on
+    the survivors), which keeps the window input O(k) per stratum.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(
+            sample_ppm(F.col(id_col), seed=seed, portable=portable).asc(),
+            F.col(id_col).asc(),
+        )
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -264,3 +264,29 @@ def test_sample_ppm_portable_matches_python_md5(spark):
     for i in ids:
         h = hashlib.md5(f"42|{i}".encode()).hexdigest()
         assert got[i] == int(h[:8], 16) % 1_000_000
+
+
+def test_sample_exact_k(spark):
+    """sample_exact_k: exactly min(k, |stratum|) rows per stratum, stable
+    under re-execution, and a strict subset ordering — k=2 rows are a
+    prefix of the k=3 selection (hash-rank determinism)."""
+    from sissaschool_xmlschema_spark.operators.curation import sample_exact_k
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out3 = sample_exact_k(df, "doc_id", "lang", k=3)
+    got3 = {(r.lang, r.doc_id) for r in out3.collect()}
+    by_lang = {}
+    for lang, i in got3:
+        by_lang.setdefault(lang, set()).add(i)
+    assert {len(v) for v in by_lang.values()} == {3}
+    # deterministic under re-run
+    assert {(r.lang, r.doc_id) for r in sample_exact_k(
+        df, "doc_id", "lang", k=3).collect()} == got3
+    # k=2 is a prefix of k=3
+    got2 = {(r.lang, r.doc_id) for r in sample_exact_k(
+        df, "doc_id", "lang", k=2).collect()}
+    assert got2 < got3
+    # quota larger than stratum: returns the whole stratum
+    tiny = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    assert sample_exact_k(tiny, "doc_id", "lang", k=5).count() == 1
