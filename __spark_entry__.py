@@ -1211,6 +1211,35 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+def q_conv_metrics(spark, sf_dir):
+    """Conversation-level curation features (operators/dialogue.py): role
+    mix, system-start prior, same-role runs (alternation breaks), empty
+    turns, broken tool calls — one offset-window pass + one groupBy, the
+    same stage shape as the validation suite's model pass."""
+    from sissaschool_xmlschema_spark.operators.dialogue import (
+        conversation_metrics,
+    )
+
+    return conversation_metrics(
+        _t(spark, sf_dir), tiebreakers=("ts", "text", "value")
+    )
+
+
+def q_conv_keep(spark, sf_dir):
+    """Dialogue keep-list: conversations worth training on (≥2 turns,
+    both user and assistant present, bounded same-role runs and empty
+    turns, all tool calls carrying payloads)."""
+    from sissaschool_xmlschema_spark.operators.dialogue import (
+        conversation_gate,
+        conversation_metrics,
+    )
+
+    m = conversation_metrics(
+        _t(spark, sf_dir), tiebreakers=("ts", "text", "value")
+    )
+    return conversation_gate(m).select("conv_id")
+
+
 def q_sample_exact_k(spark, sf_dir):
     """Exact per-stratum quota sampling: exactly min(k, |stratum|) docs per
     language, ranked by the deterministic md5 sample coordinate (ties by
@@ -1386,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_clf_score": q_quality_clf_score,
         "type_alternatives": q_type_alternatives,
         "sample_exact_k": q_sample_exact_k,
+        "conv_metrics": q_conv_metrics,
+        "conv_keep": q_conv_keep,
     }
 
 
@@ -2582,6 +2613,45 @@ r AS (
            ORDER BY (({_hex8}) % 1000000) ASC, doc_id ASC) AS rk
   FROM p)
 SELECT doc_id, lang FROM r WHERE rk <= 25
+"""
+
+    _CONV_METRICS_CTE = f"""
+o AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         lag(role)    OVER w AS prev_role,
+         row_number() OVER w AS rn
+  FROM t WINDOW w AS ({w})),
+m AS (
+  SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_assistant,
+    CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+    CAST(MAX(CASE WHEN rn = 1 AND role = 'system' THEN 1 ELSE 0 END)
+      AS BIGINT) AS starts_system,
+    CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+      AS same_role_runs,
+    ROUND(AVG(length(text)), 6) AS avg_chars,
+    CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+      AS BIGINT) AS empty_turns,
+    CAST(SUM(CASE WHEN role = 'tool' AND tool IS NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS tool_missing
+  FROM o GROUP BY conv_id)
+"""
+
+    sql["conv_metrics"] = f"""
+WITH t AS ({_CTE}), {_CONV_METRICS_CTE}
+SELECT * FROM m
+"""
+
+    sql["conv_keep"] = f"""
+WITH t AS ({_CTE}), {_CONV_METRICS_CTE}
+SELECT conv_id FROM m
+WHERE n_turns >= 2 AND n_user >= 1 AND n_assistant >= 1
+  AND same_role_runs <= n_turns * 0.5
+  AND empty_turns <= n_turns * 0.2
+  AND tool_missing = 0
 """
 
     from sissaschool_xmlschema_spark.sources.xml_io import oracle_turn_xml_sql
