@@ -1211,6 +1211,17 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking for embedding corpora: 64-token windows,
+    stride 48 (16-token overlap), built entirely row-locally (sequence +
+    slice inside the projection — zero shuffle; chunks at scan speed)."""
+    from sissaschool_xmlschema_spark.operators.packing import chunk_with_overlap
+
+    return chunk_with_overlap(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=64, stride=48
+    )
+
+
 def q_conv_metrics(spark, sf_dir):
     """Conversation-level curation features (operators/dialogue.py): role
     mix, system-start prior, same-role runs (alternation breaks), empty
@@ -1417,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_exact_k": q_sample_exact_k,
         "conv_metrics": q_conv_metrics,
         "conv_keep": q_conv_keep,
+        "chunk_overlap": q_chunk_overlap,
     }
 
 
@@ -2613,6 +2625,35 @@ r AS (
            ORDER BY (({_hex8}) % 1000000) ASC, doc_id ASC) AS rk
   FROM p)
 SELECT doc_id, lang FROM r WHERE rk <= 25
+"""
+
+    # sliding-window chunking: starts = 0, 48, ... up to the last multiple
+    # of stride below the token count (tail window partial, every token
+    # covered) — same arithmetic as packing.chunk_with_overlap
+    sql["chunk_overlap"] = """
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+st AS (
+  SELECT doc_id, t,
+         generate_series(
+           0,
+           CAST(GREATEST(0, (CEIL(len(t) / 48.0) - 1) * 48) AS BIGINT),
+           48) AS starts
+  FROM tk),
+e AS (
+  SELECT doc_id, t,
+         unnest(starts) AS start_token,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx
+  FROM st)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(t[start_token + 1 : start_token + 64]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(t[start_token + 1 : start_token + 64], ' ')
+         AS chunk_text
+FROM e
 """
 
     _CONV_METRICS_CTE = f"""

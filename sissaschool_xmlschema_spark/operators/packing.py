@@ -224,3 +224,57 @@ def pack_bins_stats(assignments: DataFrame, seq_len: int) -> DataFrame:
         F.avg(F.col("fill") / seq_len).alias("mean_fill"),
         (1 - F.sum("fill") / (F.count(F.lit(1)) * seq_len)).alias("padding_frac"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Sliding-window chunking for embedding/retrieval corpora.
+
+    Splits each document into whitespace-token windows of ``chunk_tokens``
+    advancing by ``stride`` (overlap = chunk_tokens − stride), the standard
+    prep for embedding long documents.  Entirely row-local: the window
+    starts come from ``sequence()`` and each chunk is a ``slice`` of the
+    token array inside the projection — zero shuffle, no Python; a 100 TB
+    corpus chunks at scan speed.
+
+    Returns ``(id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text)``
+    with one row per window; the final partial window is kept (every token
+    lands in at least one chunk).  Documents with NULL text produce no
+    rows.  ``stride`` must be in (0, chunk_tokens] — a stride above the
+    chunk size would silently drop tokens between windows.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("stride must be in (0, chunk_tokens]")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # last start: the largest multiple of stride < n (so the tail is covered
+    # exactly once by its final, possibly partial, window)
+    last_start = F.greatest(
+        F.lit(0), (F.ceil(n / F.lit(stride)) - 1) * F.lit(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    # explicit null filter: Spark's greatest() SKIPS nulls, so a NULL text
+    # would otherwise fabricate one empty window instead of zero rows
+    tk = df.filter(F.col(text_col).isNotNull()).select(
+        id_col, toks.alias("_tk"), starts.alias("_starts")
+    )
+    exploded = tk.select(
+        id_col,
+        F.col("_tk"),
+        F.posexplode(F.col("_starts")).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -109,3 +109,45 @@ def test_pack_invalid_params(spark):
         pack_bins_first_fit(df, "doc_id", "n_tokens", 0)
     with pytest.raises(ValueError):
         pack_bins_first_fit(df, "doc_id", "n_tokens", 8, n_groups=0)
+
+
+def test_chunk_with_overlap_hand_worked(spark):
+    """10 tokens, chunk 4, stride 3 -> starts 0,3,6,9; tail partial window;
+    every token covered; overlap regions repeat across windows."""
+    from sissaschool_xmlschema_spark.operators.packing import chunk_with_overlap
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_with_overlap(df, "doc_id", "text", chunk_tokens=4, stride=3)
+        .collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.start_token, r.n_chunk_tokens) for r in rows] == [
+        (0, 4), (3, 4), (6, 4), (9, 1),
+    ]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"   # overlap token t3
+    assert rows[3].chunk_text == "t9"
+    # every token appears in at least one chunk
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_with_overlap_edges(spark):
+    import pytest as _pytest
+
+    from sissaschool_xmlschema_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_with_overlap(df, "doc_id", "text", chunk_tokens=8, stride=8)
+    got = {r.doc_id: (r.n_chunk_tokens, r.chunk_text) for r in out.collect()}
+    assert got[1] == (2, "a b")
+    assert 2 not in got            # NULL text -> no rows
+    assert got[3] == (1, "")       # empty text -> one empty-token chunk
+    with _pytest.raises(ValueError):
+        chunk_with_overlap(df, "doc_id", "text", chunk_tokens=4, stride=5)
