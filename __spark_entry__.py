@@ -1211,6 +1211,22 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/retrieval.py): top-20 documents
+    for a fixed probe query — the corpus explode is pruned to the query's
+    terms before anything shuffles, term frequencies partial-aggregate,
+    df/N/avgdl fold in as broadcasts, ranking is TakeOrderedAndProject."""
+    from sissaschool_xmlschema_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        query=["shuffle", "broadcast", "window"],
+        k=20,
+    )
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking for embedding corpora: 64-token windows,
     stride 48 (16-token overlap), built entirely row-locally (sequence +
@@ -1429,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_metrics": q_conv_metrics,
         "conv_keep": q_conv_keep,
         "chunk_overlap": q_chunk_overlap,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2625,6 +2642,31 @@ r AS (
            ORDER BY (({_hex8}) % 1000000) ASC, doc_id ASC) AS rk
   FROM p)
 SELECT doc_id, lang FROM r WHERE rk <= 25
+"""
+
+    sql["bm25_topk"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(string_split(lower(text), ' '))) AS avgdl
+  FROM documents),
+m AS (SELECT * FROM tok WHERE term IN ('broadcast', 'shuffle', 'window')),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM m GROUP BY doc_id, term, dl),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + ((SELECT n_docs FROM corpus) - dfreq.df + 0.5)
+                / (dfreq.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM corpus)))
+           AS contrib
+  FROM tf JOIN dfreq USING (term))
+SELECT doc_id, ROUND(SUM(contrib), 6) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
     # sliding-window chunking: starts = 0, 48, ... up to the last multiple

@@ -181,3 +181,45 @@ def test_pipeline_no_lang_gate(spark, corpus):
     assert {r["id"] for r in kept} == {1, 3}
     langs = {r["id"]: r["lang"] for r in kept}
     assert langs[3] == "es"
+
+
+def test_bm25_topk_matches_python(spark):
+    """BM25 scores match an independent python computation exactly (to the
+    6-dp rounding), ranking and tie-breaks included."""
+    import math
+
+    from sissaschool_xmlschema_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (0, "spark shuffles data across the cluster"),
+        (1, "spark spark spark tuning guide"),
+        (2, "the cat sat on the mat"),
+        (3, "data locality and shuffle avoidance in spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    query = ["spark", "shuffle"]
+    got = [(r.doc_id, r.score) for r in bm25_topk(
+        df, "doc_id", "text", query, k=3).collect()]
+
+    # independent python oracle
+    k1, b = 1.2, 0.75
+    toks = {i: t.lower().split(" ") for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    def idf(term):
+        dfq = sum(1 for v in toks.values() if term in v)
+        return math.log(1 + (N - dfq + 0.5) / (dfq + 0.5))
+    exp = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in set(q.lower() for q in query):
+            tf = v.count(t)
+            if tf:
+                s += idf(t) * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            exp[i] = round(s, 6)
+    expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == expected
+    # doc 2 (no query terms) never appears
+    assert 2 not in {i for i, _ in got}
