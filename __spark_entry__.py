@@ -1211,6 +1211,36 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+_MIX_TARGET = {"en": 0.5, "fr": 0.3, "de": 0.2}
+_MIX_BUDGET = 100_000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning: per-language deterministic keep rates
+    hitting each stratum's share of a 100k-token budget; strata too small
+    for their share are taken whole with the shortfall exposed (never
+    silently re-normalized)."""
+    from sissaschool_xmlschema_spark.operators.curation import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir), "lang", "text", _MIX_TARGET, _MIX_BUDGET
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Apply the mixture plan: broadcast the per-stratum rates, gate each
+    row on its deterministic md5 sample coordinate — retry-stable, one
+    hash comparison per row."""
+    from sissaschool_xmlschema_spark.operators.curation import (
+        mixture_apply,
+        mixture_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    plan = mixture_plan(docs, "lang", "text", _MIX_TARGET, _MIX_BUDGET)
+    return mixture_apply(docs, plan, "doc_id", "lang").select("doc_id", "lang")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 lexical retrieval (operators/retrieval.py): top-20 documents
     for a fixed probe query — the corpus explode is pruned to the query's
@@ -1446,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_keep": q_conv_keep,
         "chunk_overlap": q_chunk_overlap,
         "bm25_topk": q_bm25_topk,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2642,6 +2674,42 @@ r AS (
            ORDER BY (({_hex8}) % 1000000) ASC, doc_id ASC) AS rk
   FROM p)
 SELECT doc_id, lang FROM r WHERE rk <= 25
+"""
+
+    _MIX_PLAN_CTE = """
+acc AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+plan AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(COALESCE(
+           CASE WHEN w IS NOT NULL
+                THEN LEAST(1000000, FLOOR(100000.0 * w / n_tokens * 1e6))
+           END, 0) AS BIGINT) AS target_ppm
+  FROM (SELECT acc.*,
+               CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3
+                         WHEN 'de' THEN 0.2 END AS w
+        FROM acc))
+"""
+
+    sql["mixture_plan"] = f"""
+WITH {_MIX_PLAN_CTE}
+SELECT lang, n_docs, n_tokens, target_ppm,
+       CAST(FLOOR(n_tokens * target_ppm / 1e6) AS BIGINT) AS expected_tokens
+FROM plan
+"""
+
+    sql["mixture_sample"] = f"""
+WITH {_MIX_PLAN_CTE},
+p AS (
+  SELECT doc_id, lang, md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT p.doc_id, p.lang
+FROM p JOIN plan USING (lang)
+WHERE ({_hex8}) % 1000000 < plan.target_ppm
 """
 
     sql["bm25_topk"] = """

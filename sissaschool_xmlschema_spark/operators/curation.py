@@ -425,3 +425,77 @@ def sample_exact_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str,
+    target_weights: Mapping[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Token-budget mixture planning: per-stratum deterministic keep rates.
+
+    Given target mixture proportions (e.g. the published data-mixture
+    weights of a pretraining run) and a total token budget, compute the
+    per-stratum ppm rate that hits each stratum's share of the budget:
+    ``rate = min(1, budget·w / stratum_tokens)`` — a stratum too small for
+    its target share is taken whole (rate capped at 10^6 ppm; the plan
+    EXPOSES the shortfall instead of silently re-normalizing, because
+    re-weighting policy belongs to the caller).
+
+    One groupBy over the corpus (token accounting), then row-local
+    arithmetic on the tiny per-stratum frame.  Returns
+    ``(stratum, n_docs, n_tokens, target_ppm, expected_tokens)`` where
+    ``expected_tokens = floor(n_tokens · rate / 10^6)``.  Feed the plan to
+    :func:`mixture_apply` (or a CASE into :func:`stratified_sample`).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    acc = mixture_weights(df, (stratum_col,), text_col)
+    w: Column = F.lit(None).cast("double")
+    for value, wt in sorted(target_weights.items()):
+        w = F.when(F.col(stratum_col) == value, F.lit(float(wt))).otherwise(w)
+    # guard on w's nullity FIRST: least()/greatest() skip nulls in Spark,
+    # so least(10^6, NULL) would silently take an unlisted stratum whole
+    rate = F.when(
+        w.isNotNull(),
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.lit(float(budget_tokens)) * w / F.col("n_tokens") * 1e6
+            ),
+        ),
+    )
+    return acc.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.coalesce(rate, F.lit(0)).cast("long").alias("target_ppm"),
+        F.floor(
+            F.col("n_tokens") * F.coalesce(rate, F.lit(0)) / F.lit(1e6)
+        ).cast("long").alias("expected_tokens"),
+    )
+
+
+def mixture_apply(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`: keep rows whose deterministic sample
+    coordinate clears their stratum's planned rate.  The plan (one row per
+    stratum) broadcasts; the gate is one hash comparison — row-local,
+    retry-stable, zero extra shuffle."""
+    rates = plan.select(stratum_col, "target_ppm")
+    return (
+        df.join(F.broadcast(rates), stratum_col, "left")
+        .filter(
+            sample_ppm(F.col(id_col), seed=seed, portable=portable)
+            < F.coalesce(F.col("target_ppm"), F.lit(0))
+        )
+        .drop("target_ppm")
+    )

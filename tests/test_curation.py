@@ -290,3 +290,39 @@ def test_sample_exact_k(spark):
     # quota larger than stratum: returns the whole stratum
     tiny = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
     assert sample_exact_k(tiny, "doc_id", "lang", k=5).count() == 1
+
+
+def test_mixture_plan_and_apply(spark):
+    """mixture_plan: rate = min(1, budget*w / stratum_tokens); a stratum too
+    small for its share is taken whole (capped, shortfall exposed, never
+    silently re-normalized).  mixture_apply keeps ~rate of each stratum
+    deterministically."""
+    from sissaschool_xmlschema_spark.operators.curation import (
+        mixture_apply,
+        mixture_plan,
+    )
+
+    rows = (
+        [(i, "en", "w " * 9 + "w") for i in range(100)]       # 1000 en tokens
+        + [(1000 + i, "fr", "w " * 9 + "w") for i in range(5)]  # 50 fr tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = mixture_plan(
+        df, "lang", "text", {"en": 0.5, "fr": 0.5}, budget_tokens=200
+    )
+    p = {r.lang: r for r in plan.collect()}
+    # en: 100*0.5/1000 = 10% -> 100000 ppm, expects 100 tokens
+    assert p["en"].target_ppm == 100_000 and p["en"].expected_tokens == 100
+    # fr: budget share 100 > 50 available -> capped at 10^6 (whole stratum)
+    assert p["fr"].target_ppm == 1_000_000 and p["fr"].expected_tokens == 50
+    kept = mixture_apply(df, plan, "doc_id", "lang")
+    by = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert by["fr"] == 5                      # whole stratum kept
+    assert 2 <= by.get("en", 0) <= 25         # ~10% of 100, hash-deterministic
+    # deterministic under re-run
+    assert kept.count() == mixture_apply(df, plan, "doc_id", "lang").count()
+    # unknown stratum -> rate 0
+    plan2 = mixture_plan(df, "lang", "text", {"en": 1.0}, budget_tokens=100)
+    p2 = {r.lang: r.target_ppm for r in plan2.collect()}
+    assert p2["fr"] == 0
