@@ -236,7 +236,12 @@ def read_xml_source(
 # context where XML forbids a literal '>'), matching the StAX generator.
 
 def oracle_escape_sql(expr: str) -> str:
-    """DuckDB SQL escaping element text exactly like Spark's generator."""
+    """DuckDB SQL escaping element text exactly like Spark's generator.
+
+    Covers the escapes the transcript corpus can produce (``&``, ``<``,
+    ``]]>``).  The StAX writer additionally escapes a literal carriage
+    return as ``&#xd;`` (roundtrip-exact — tested), which this template
+    does NOT replicate; none of the oracle corpora contain ``\\r``."""
     esc = f"replace(replace({expr}, '&', '&amp;'), '<', '&lt;')"
     return f"replace({esc}, ']]>', ']]&gt;')"
 

@@ -226,3 +226,38 @@ def test_xml_stream_validation(spark, tmp_path):
     assert [(r.conv_id, r.turn_idx, r.offending_value) for r in rows] == [
         ("c1", 1, "alien")
     ]
+
+
+def test_roundtrip_property_fuzz(spark):
+    """Hypothesis fuzz of the per-turn text-equality invariant: any XML-legal
+    text roundtrips encode→decode byte-identically (XML 1.0 forbids most
+    control characters and lone surrogates — the generator excludes exactly
+    those, which a real ingest pipeline must strip anyway)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    xml_text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # lone surrogates: not XML chars
+            blacklist_characters="".join(
+                chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
+            )
+            + "\x7f",
+        ),
+        max_size=60,
+    )
+
+    @given(st.lists(xml_text, min_size=1, max_size=8))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(texts):
+        rows = [(f"c", i, "user", t, None, TS) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, TURN_SCHEMA_DDL)
+        dec = decode_turn_xml(encode_turn_xml(df).select("xml"))
+        got = {r.turn_idx: r.text for r in dec.collect()}
+        assert got == {i: t for i, t in enumerate(texts)}
+
+    run()
