@@ -195,6 +195,12 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_clf_score",
         "skew_summary",
         "xml_roundtrip",
+        "bm25_topk",
+        "conv_keep",
+        "mixture_sample",
+        "chunk_overlap",
+        "sample_exact_k",
+        "type_alternatives",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
