@@ -1211,6 +1211,22 @@ def q_lm_quality2(spark, sf_dir):
     return lm_quality_bigram(docs, "doc_id", "text", vt, bg, cx, floor)
 
 
+def q_text_normalized(spark, sf_dir):
+    """Pipeline-side text normalization (functions/text.py:normalize_text):
+    control/zero-width strip + whitespace collapse as chained JVM regex in
+    one projection; returns the normalized text plus a changed flag."""
+    from sissaschool_xmlschema_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        (normalize_text(F.col("text")) != F.col("text"))
+        .cast("int")
+        .alias("changed"),
+    )
+
+
 _MIX_TARGET = {"en": 0.5, "fr": 0.3, "de": 0.2}
 _MIX_BUDGET = 100_000
 
@@ -1478,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "text_normalized": q_text_normalized,
     }
 
 
@@ -2710,6 +2727,22 @@ p AS (
 SELECT p.doc_id, p.lang
 FROM p JOIN plan USING (lang)
 WHERE ({_hex8}) % 1000000 < plan.target_ppm
+"""
+
+    sql["text_normalized"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm_text,
+         text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS INT) AS changed
+FROM n
 """
 
     sql["bm25_topk"] = """

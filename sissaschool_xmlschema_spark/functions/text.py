@@ -157,3 +157,38 @@ def text_profile(text: Column) -> Column:
         lang_id(text).alias("lang_pred"),
         content_fingerprint(text).alias("fingerprint"),
     )
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_zero_width: bool = True,
+) -> Column:
+    """Standard pre-dedup/pre-tokenization text cleanup, all JVM regex.
+
+    The whiteSpace-facet machinery (facets.py WhiteSpace) implements the
+    XSD modes for VALIDATION; this is the pipeline-side normalizer that
+    actually rewrites the text column before fingerprinting/minhashing, so
+    that cosmetic variation (stray control chars, zero-width joiners, run
+    of spaces) doesn't defeat exact/near dedup.  Order matters: invisible
+    characters are removed BEFORE whitespace collapsing so "a\\u200b b"
+    collapses to "a b", then the result is trimmed.
+
+    Each step is a ``regexp_replace`` in the projection — row-local,
+    whole-stage codegen, exactly replicable in the DuckDB oracle.
+    """
+    out = text
+    if strip_control:
+        # C0/C1 controls minus \t \n \r (which are whitespace, handled below)
+        out = F.regexp_replace(out, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    if strip_zero_width:
+        out = F.regexp_replace(
+            out, "[\\u200B\\u200C\\u200D\\u2060\\uFEFF]", ""
+        )
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out

@@ -155,3 +155,31 @@ def test_lang_model_empty_and_unknown(spark):
     df = spark.createDataFrame([("",), ("12345 67890",)], "text string")
     got = [r["lang_pred"] for r in lang_id_model(df, "text", profiles).collect()]
     assert got[0] == "und"
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.functions.text import normalize_text
+
+    rows = [
+        (0, "  a​ b\tc\n\nd  "),
+        (1, "x\x00y\x1fz"),
+        (2, "Keep Case"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert out[0] == "a b c d"     # zero-width removed BEFORE collapsing
+    assert out[1] == "xyz"          # control chars stripped
+    assert out[2] == "Keep Case"    # lowercase off by default
+    assert out[3] is None
+    low = df.select(
+        normalize_text(F.col("text"), lowercase=True).alias("n")
+    ).collect()[2].n
+    assert low == "keep case"
