@@ -317,7 +317,8 @@ def q_drift_turncount(spark, sf_dir):
     b = per_conv.agg(F.min("t0").alias("lo"), F.max("t0").alias("hi")).first()
     mid = (b["lo"] + b["hi"]) / 2.0
     rep = drift.tagged_drift_report(
-        per_conv, "n_turns", f"t0 >= {mid!r}", n_buckets=10, ks_bins=None
+        per_conv, "n_turns", f"t0 >= {mid!r}", n_buckets=10, ks_bins=None,
+        allow_exact=True,  # turn counts are small ints: bounded cardinality
     )
     return rep.select(
         F.lit("n_turns").alias("column"),
@@ -2770,9 +2771,11 @@ FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
-    # sliding-window chunking: starts = 0, 48, ... up to the last multiple
-    # of stride below the token count (tail window partial, every token
-    # covered) — same arithmetic as packing.chunk_with_overlap
+    # sliding-window chunking: starts = 0, 48, ... up to
+    # stride·ceil((n−chunk)/stride) — the last window is emitted only if it
+    # covers at least one token the previous window missed (tail partial,
+    # every token covered exactly once by its final window) — same
+    # arithmetic as packing.chunk_with_overlap
     sql["chunk_overlap"] = """
 WITH tk AS (
   SELECT doc_id, string_split(text, ' ') AS t
@@ -2781,7 +2784,7 @@ st AS (
   SELECT doc_id, t,
          generate_series(
            0,
-           CAST(GREATEST(0, (CEIL(len(t) / 48.0) - 1) * 48) AS BIGINT),
+           CAST(GREATEST(0, CEIL((len(t) - 64) / 48.0)) * 48 AS BIGINT),
            48) AS starts
   FROM tk),
 e AS (
@@ -2958,14 +2961,21 @@ FROM f
     sql["type_alternatives"] = f"""
 WITH t AS ({_CTE}),
 v AS (
+  -- arm gates COALESCE NULL tests to FALSE, exactly like the compiler's
+  -- first-match cascade (a NULL role matches no alternative and falls
+  -- through to the default arm) — keeps the oracle aligned even if the
+  -- corpus ever produces NULL roles
   SELECT CASE
-    WHEN role = 'tool' AND tool IS NULL
+    WHEN COALESCE(role = 'tool', FALSE) AND tool IS NULL
       THEN 'facet:tool:Required@call'
-    WHEN role <> 'tool' AND role IN ('tool', 'assistant')
+    WHEN NOT COALESCE(role = 'tool', FALSE)
+         AND COALESCE(role IN ('tool', 'assistant'), FALSE)
          AND tool IS NOT NULL
          AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
       THEN 'facet:tool:Pattern@ref'
-    WHEN role NOT IN ('tool', 'assistant') AND tool IS NOT NULL
+    WHEN NOT COALESCE(role = 'tool', FALSE)
+         AND NOT COALESCE(role IN ('tool', 'assistant'), FALSE)
+         AND tool IS NOT NULL
       THEN 'facet:tool:Prohibited@default'
   END AS constraint_id
   FROM t)

@@ -366,8 +366,10 @@ best-of-reps (noisy shared host), per-process JIT warmup excluded.
 | local[8]  (N)  | {t8:,.0f} | {[f'{v:,.0f}' for v in results[8]]} | {c8/1e6:,.0f}M |
 | local[32] (4N) | {t32:,.0f} | {[f'{v:,.0f}' for v in results[32]]} | {c32/1e6:,.0f}M |
 
-- **Raw paired scaling efficiency = {paired_best:.2f} best / {paired_med:.2f}
-  median** over per-rep pairs {[f'{p:.2f}' for p in paired]} — each rep's
+- **Raw paired scaling efficiency = {paired_med:.2f} median (headline) /
+  {paired_best:.2f} best** over per-rep pairs {[f'{p:.2f}' for p in paired]}
+  — the median is the unbiased central figure (a max over noisy ratios is
+  biased upward and can exceed every central estimate) — each rep's
   8- and 32-core runs execute back-to-back in the same host-noise window,
   so the within-rep ratio is the cleanest raw sample of the job's scaling
   (target ≥ 0.8).  Raw = no normalization of any kind.
@@ -407,12 +409,15 @@ Environment: PySpark 4.1.2, 32 vCPUs (KVM, shared host — `lscpu` reports
 1 thread/core but the control shows effective oversubscription), single JVM
 local mode; see BASELINE.md for the full sandbox-protocol definition.
 """)
+    # headline = paired MEDIAN: a max over per-rep ratios is biased upward
+    # by run-to-run noise (it can exceed every central estimate); the median
+    # is the unbiased central figure, best/best-of-each-side stay secondary
     print(json.dumps({
         "metric": "scaling efficiency local[8]->local[32]",
-        "value": round(paired_best, 3),
+        "value": round(paired_med, 3),
         "unit": "ratio",
         "paired_per_rep": [round(p, 3) for p in paired],
-        "paired_median": round(paired_med, 3),
+        "paired_best": round(paired_best, 3),
         "best_of_each_side": round(eff, 3),
         "platform_ceiling": round(ceff, 3),
         "normalized": round(norm, 3),

@@ -201,6 +201,23 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
             "(wildcard denylist)"
         )
 
+    if isinstance(facet, S.BuiltinLexical):
+        # builtin lexical space (builtins.py:72-183, 365-500) — KeyError for
+        # unknown names surfaces here, at compile time on the driver
+        from sissaschool_xmlschema_spark.functions.lexical import (
+            lexical_java_regex,
+        )
+
+        java = lexical_java_regex(facet.type_name)
+        if java is None:
+            # type imposes no regex-checkable lexical constraint (anyURI)
+            return F.lit(True), f"xs:{facet.type_name} imposes no lexical check"
+        # validate the STRING form; non-string columns (a typed int column
+        # against xs:int) go through their canonical cast rendering
+        return _null_ok(c, c.cast("string").rlike(java)), (
+            f"not a valid xs:{facet.type_name} lexical form"
+        )
+
     if isinstance(facet, S.XsdError):
         # xs:error rejects every present value (helpers.py:260-262)
         return c.isNull(), "the type xs:error admits no value"

@@ -781,14 +781,24 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     group_col: Optional[str] = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, cos)`` with cosine ≥ threshold.
 
-    Brute-force within ``group_col`` partitions (or globally — only for small
-    n); the scale path buckets by random-hyperplane LSH first, see
-    ``similarity.hyperplane_buckets``.  The dot product is
+    Brute-force within ``group_col`` partitions; the scale path buckets by
+    random-hyperplane LSH first (:func:`bucketed_embedding_dup_pairs`).
+    Without ``group_col`` the join is a GLOBAL crossJoin — O(n²), only ever
+    correct for small n — so that path REQUIRES ``allow_global=True`` as an
+    explicit acknowledgement.  The dot product is
     ``aggregate(zip_with(a, b, *), +)`` — pure JVM, no UDF.
     """
+    if group_col is None and not allow_global:
+        raise ValueError(
+            "embedding_dup_pairs without group_col is a global O(n²) "
+            "crossJoin — scale-hostile. Pass allow_global=True only for "
+            "small inputs, or use bucketed_embedding_dup_pairs(...) "
+            "(hyperplane-LSH bucketed) for the scale path."
+        )
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
         *([F.col(group_col).alias("grp")] if group_col else []),

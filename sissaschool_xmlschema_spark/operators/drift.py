@@ -100,6 +100,7 @@ def ks_statistic(
     current: DataFrame,
     baseline: DataFrame,
     col: str,
+    allow_exact: bool = False,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic on ``col``.
 
@@ -108,10 +109,20 @@ def ks_statistic(
     running sums (the reference's order-dependent automaton analogue: a single
     sort, SURVEY.md §2.5).  Returns a single row ``(ks double)``.
 
-    The window has no partition key — acceptable because its input is one row
-    per *distinct* value; for continuous 10^12-row columns, bucketize first and
-    run KS on the histogram (bounded cardinality).
+    The window has no partition key — a single-partition sort over one row per
+    *distinct* value, which is the scale-hostile shape on continuous columns
+    at 10^12 rows.  The call therefore REQUIRES ``allow_exact=True`` as an
+    explicit acknowledgement that ``col``'s cardinality is bounded (small
+    integers, enum codes); for continuous columns use
+    :func:`ks_statistic_binned` (the default everywhere else).
     """
+    if not allow_exact:
+        raise ValueError(
+            "ks_statistic computes the EXACT statistic via a single-partition "
+            "sort over all distinct values — scale-hostile on continuous "
+            "columns. Pass allow_exact=True only when the column's "
+            "cardinality is bounded, or use ks_statistic_binned(...)."
+        )
     a = current.select(_as_double(current, col).alias("v")).where(
         F.col("v").isNotNull()
     ).groupBy("v").agg(F.count(F.lit(1)).alias("n_a")).withColumn(
@@ -150,6 +161,7 @@ def drift_report(
     lo: Optional[float] = None,
     hi: Optional[float] = None,
     ks_bins: Optional[int] = 10_000,
+    allow_exact: bool = False,
 ) -> DataFrame:
     """One-row ``(column, psi, ks)`` report for a column pair of snapshots.
 
@@ -160,8 +172,9 @@ def drift_report(
     KS defaults to the BINNED path (``ks_bins`` fine-grained buckets): the
     exact KS runs an ordered window over all distinct values — a
     single-partition sort that is the documented scale-hostile shape on
-    continuous columns at 10^12 rows.  Pass ``ks_bins=None`` for the exact
-    statistic on low-cardinality columns.
+    continuous columns at 10^12 rows.  ``ks_bins=None`` selects the exact
+    statistic and additionally requires ``allow_exact=True`` (the explicit
+    bounded-cardinality acknowledgement).
     """
     if lo is None or hi is None:
         row = baseline.agg(
@@ -175,7 +188,7 @@ def drift_report(
     if ks_bins:
         k = ks_statistic_binned(current, baseline, col, ks_bins, lo, hi)
     else:
-        k = ks_statistic(current, baseline, col)
+        k = ks_statistic(current, baseline, col, allow_exact=allow_exact)
     return (
         p.crossJoin(k)
         .select(F.lit(col).alias("column"), "psi", "ks")
@@ -191,6 +204,7 @@ def tagged_drift_report(
     hi: Optional[float] = None,
     eps: float = 1e-6,
     ks_bins: Optional[int] = 10_000,
+    allow_exact: bool = False,
 ) -> DataFrame:
     """PSI + KS when both snapshots live in ONE table (e.g. split by a time
     predicate): a single scan with conditional counts replaces two scans and a
@@ -202,8 +216,16 @@ def tagged_drift_report(
     KS is BINNED by default (``ks_bins`` buckets over the same bounds): the
     distinct-value cumulative window would be a single-partition sort over
     |distinct(col)| rows — the scale-hostile path on continuous columns.
-    ``ks_bins=None`` restores the exact statistic (bounded-cardinality cols).
+    ``ks_bins=None`` restores the exact statistic and requires
+    ``allow_exact=True`` (the explicit bounded-cardinality acknowledgement).
     """
+    if not ks_bins and not allow_exact:
+        raise ValueError(
+            "tagged_drift_report with ks_bins=None computes the EXACT KS via "
+            "a single-partition sort over all distinct values — scale-hostile "
+            "on continuous columns. Pass allow_exact=True only when the "
+            "column's cardinality is bounded, or keep ks_bins set."
+        )
     side = F.expr(current_when)
     v = _as_double(df, col)
     src = df.select(v.alias("v"), side.alias("_cur")).where(

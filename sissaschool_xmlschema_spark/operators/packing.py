@@ -254,10 +254,17 @@ def chunk_with_overlap(
         raise ValueError("stride must be in (0, chunk_tokens]")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    # last start: the largest multiple of stride < n (so the tail is covered
-    # exactly once by its final, possibly partial, window)
-    last_start = F.greatest(
-        F.lit(0), (F.ceil(n / F.lit(stride)) - 1) * F.lit(stride)
+    # last start: the smallest multiple of stride whose window reaches the
+    # final token — stride·ceil((n − chunk)/stride) — so a new window is
+    # emitted only when it covers at least one token the previous window
+    # missed (n=100, chunk=64, stride=48 → last start 48, not a fully
+    # redundant window at 96)
+    last_start = (
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)),
+        )
+        * F.lit(stride)
     ).cast("int")
     starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     # explicit null filter: Spark's greatest() SKIPS nulls, so a NULL text

@@ -167,6 +167,20 @@ def decode_turn_xml(
         "_parsed", F.from_xml(F.col(xml_col), parsed_schema, opts)
     )
     keep = [c for c in df.columns if c != xml_col]
+    # guard: a kept input column with the same name as a decoded field
+    # (e.g. encode output that still carries conv_id/turn_idx beside xml)
+    # would produce duplicate column names that break later by-name
+    # references — fail loudly instead of emitting an ambiguous frame
+    decoded_names = {
+        f.name for f in parsed.schema["_parsed"].dataType.fields
+    }
+    clash = [c for c in keep if c in decoded_names]
+    if clash:
+        raise ValueError(
+            f"decode_turn_xml: input columns {clash} collide with decoded "
+            f"field names; select them away first (e.g. df.select("
+            f"{xml_col!r})) or rename them before decoding"
+        )
     return parsed.select(*keep, "_parsed.*")
 
 

@@ -201,6 +201,19 @@ class Base64Binary(Facet):
 
 
 @dataclass(frozen=True)
+class BuiltinLexical(Facet):
+    """Lexical space of an XSD builtin type, by local name — the long tail of
+    ``builtins.py:72-183, 365-500``: duration, yearMonth/dayTimeDuration,
+    gYear/gYearMonth/gMonth/gMonthDay/gDay, date/time/dateTime/dateTimeStamp,
+    Name/NCName/NMTOKEN/language/QName/NOTATION, and the numeric lexicals.
+    Lowered to one anchored JVM ``rlike`` from the registry in
+    :mod:`~sissaschool_xmlschema_spark.functions.lexical`; unknown names fail
+    at compile time on the driver."""
+
+    type_name: str = "string"
+
+
+@dataclass(frozen=True)
 class XsdError(Facet):
     """xs:error — rejects every (present) value; XSD 1.1's empty type
     (helpers.py:260-262, builtins.py:492-499)."""

@@ -1,0 +1,655 @@
+"""XSD schema-document front door: compile real ``.xsd`` files to TableSpecs.
+
+The reference's entry point is ``XMLSchema('schema.xsd')``
+(``xmlschema/validators/schemas.py:149``; document loading
+``xmlschema/loaders.py:84-167``), which parses the XSD DOM into a component
+graph.  This module is the engine's twin for the FLAT-TABLE SUBSET: a
+driver-side, pure-Python compiler from the XSD document to
+:class:`~sissaschool_xmlschema_spark.spec.TableSpec` dataclasses — executors
+never see any of this; they only see the Column plans the spec compiles to.
+
+Supported subset (everything a tabular corpus can express):
+
+* global/inline ``xs:simpleType`` with restriction chains — facets
+  enumeration, pattern (ORed within a step, ANDed across derivation steps,
+  facets.py:798-804), length/minLength/maxLength, min/max In/Exclusive,
+  totalDigits/fractionDigits, whiteSpace, explicitTimezone, assertion
+  (XSD 1.1 ``$value``), plus ``xs:list`` / ``xs:union``;
+* every builtin lexical space in :mod:`.functions.lexical` (duration,
+  gregorian fragments, dateTimeStamp, names, numerics — builtins.py:72-500),
+  with integer-width value ranges emitted as cast assertions;
+* ``xs:complexType`` content flattened to columns: attributes (use=
+  required/prohibited, fixed — attributes.py:663-709), simple-typed child
+  elements (minOccurs → Required), nested single-occurrence complex children
+  flattened with ``parent_child`` underscore paths;
+* repeated complex elements become TABLES (one TableSpec per "row element"),
+  the tabular analogue of ``maxOccurs='unbounded'`` children;
+* identity constraints ``xs:unique/key/keyref`` (identities.py:252-337):
+  selector/field XPaths resolved against the row element and flattened to
+  column names; a keyref whose key lives on a different row element becomes
+  an :class:`ExternalKeyref` (cross-table broadcast/hash join form);
+* ``xs:ID`` attributes get a per-document Unique (the xs:ID uniqueness rule).
+
+Deliberately out of scope (recorded in ``CompiledXsd.restrictions``, never
+silently dropped): repeated SIMPLE children inside a row (no flat column),
+nested repeated groups below a row element, substitution groups in the
+document structure (the engine models them as enumerations —
+operators/substitution.py), and mixed content.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.functions.lexical import (
+    INTEGER_RANGES,
+    XSD_LEXICAL,
+)
+
+XSD_NS = "http://www.w3.org/2001/XMLSchema"
+
+
+def _xs(tag: str) -> str:
+    return f"{{{XSD_NS}}}{tag}"
+
+
+class XsdCompileError(ValueError):
+    """Raised on the driver for XSD constructs outside the flat-table subset
+    that cannot be safely skipped (e.g. an unresolvable type reference)."""
+
+
+@dataclass(frozen=True)
+class ExternalKeyref:
+    """A keyref whose referenced key lives on a DIFFERENT row element — the
+    cross-table form executed via ``identity.keyref_violations(..., keys_df=
+    <key_table>)`` (broadcast/hash equi-join, identities.py:317-334)."""
+
+    keyref: S.Keyref
+    table: str  # referencing row element
+    key_table: str  # row element holding the referred key
+    key_selector_cols: tuple  # flattened key field columns on key_table
+
+
+@dataclass
+class CompiledXsd:
+    """Result of :func:`compile_xsd`: one TableSpec per row element, plus
+    cross-table keyrefs and the list of constructs outside the subset."""
+
+    specs: dict
+    external_keyrefs: tuple
+    restrictions: tuple
+
+    def spec(self, name: Optional[str] = None) -> S.TableSpec:
+        if name is None:
+            if len(self.specs) != 1:
+                raise XsdCompileError(
+                    f"schema defines {sorted(self.specs)} row elements; "
+                    "pass the table name"
+                )
+            return next(iter(self.specs.values()))
+        return self.specs[name]
+
+
+# ---------------------------------------------------------------------------
+# internal model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Column:
+    name: str
+    facets: list = field(default_factory=list)
+
+
+@dataclass
+class _Ctx:
+    """One parsed schema document."""
+
+    root: ET.Element
+    simple_types: dict = field(default_factory=dict)
+    complex_types: dict = field(default_factory=dict)
+    elements: dict = field(default_factory=dict)
+    restrictions: list = field(default_factory=list)
+    lexical: bool = True
+
+
+def _local(qname: Optional[str]) -> str:
+    """Strip any namespace prefix from a QName reference ('xs:string' →
+    'string', 'p:name' → 'name').  The compiler treats all non-XSD types as
+    belonging to the schema's own target namespace — the single-namespace
+    flat-table case."""
+    if qname is None:
+        return ""
+    return qname.split(":", 1)[-1]
+
+
+def _is_builtin(qname: str, ctx: _Ctx) -> bool:
+    local = _local(qname)
+    # a user type shadows nothing: builtins live in the XSD namespace, user
+    # types in the target namespace; prefixes differ but locals may collide —
+    # prefer the user definition when one exists (reference resolution order)
+    if local in ctx.simple_types or local in ctx.complex_types:
+        return False
+    return local in XSD_LEXICAL or local in (
+        "string", "boolean", "hexBinary", "base64Binary", "anySimpleType",
+        "anyAtomicType", "anyType", "normalizedString", "token",
+    )
+
+
+def builtin_facets(local: str, lexical: bool = True) -> tuple:
+    """Facet set for one builtin type by local name (builtins.py:72-500).
+
+    ``lexical=False`` suppresses the regex lexical checks — the right setting
+    for tables whose columns are already decoded/typed (a parquet int column
+    needs no integer-lexical rlike), keeping value-space checks only.
+    """
+    facets: list = []
+    if local in ("string", "anySimpleType", "anyAtomicType", "anyType",
+                 "anyURI"):
+        return ()
+    if local == "boolean":
+        return (S.BooleanLexical(),)
+    if local == "hexBinary":
+        return (S.HexBinary(),)
+    if local == "base64Binary":
+        return (S.Base64Binary(),)
+    if local == "normalizedString":
+        return (S.WhiteSpace("replace"),)
+    if local == "token":
+        return (S.WhiteSpace("collapse"),)
+    if local not in XSD_LEXICAL:
+        raise XsdCompileError(f"unknown builtin type xs:{local}")
+    if lexical and XSD_LEXICAL[local] is not None:
+        facets.append(S.BuiltinLexical(local))
+    if local in INTEGER_RANGES:
+        lo, hi = INTEGER_RANGES[local]
+        conds = []
+        if lo is not None:
+            conds.append(f"TRY_CAST(value AS DECIMAL(38,0)) >= {lo}")
+        if hi is not None:
+            conds.append(f"TRY_CAST(value AS DECIMAL(38,0)) <= {hi}")
+        # value-space width check as a cast assertion: works on string AND
+        # already-typed integer columns alike (builtins.py:216-330)
+        facets.append(S.Assertion(" AND ".join(conds)))
+    return tuple(facets)
+
+
+def _parse_bound(text: str):
+    """Facet value → int/float when numeric, else the raw string (dates,
+    durations compare lexicographically in their canonical forms)."""
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
+_VALUE_FACETS = {
+    "length": S.Length,
+    "minLength": S.MinLength,
+    "maxLength": S.MaxLength,
+    "totalDigits": S.TotalDigits,
+    "fractionDigits": S.FractionDigits,
+}
+_BOUND_FACETS = {
+    "minInclusive": S.MinInclusive,
+    "minExclusive": S.MinExclusive,
+    "maxInclusive": S.MaxInclusive,
+    "maxExclusive": S.MaxExclusive,
+}
+
+
+def _compile_simple(node_or_ref, ctx: _Ctx, where: str = "") -> tuple:
+    """Compile a simpleType (by reference name or inline element) to facets,
+    following restriction chains (base facets first — the reference validates
+    base-to-derived, simple_types.py:488-503)."""
+    if isinstance(node_or_ref, str):
+        local = _local(node_or_ref)
+        if local in ctx.simple_types:
+            return _compile_simple(ctx.simple_types[local], ctx, where)
+        if _is_builtin(node_or_ref, ctx):
+            return builtin_facets(local, ctx.lexical)
+        raise XsdCompileError(f"unresolved simpleType reference {node_or_ref!r}")
+
+    st = node_or_ref
+    restriction = st.find(_xs("restriction"))
+    if restriction is not None:
+        facets: list = []
+        base = restriction.get("base")
+        inline_base = restriction.find(_xs("simpleType"))
+        if base:
+            facets.extend(_compile_simple(base, ctx, where))
+        elif inline_base is not None:
+            facets.extend(_compile_simple(inline_base, ctx, where))
+        patterns = []
+        enums = []
+        for child in restriction:
+            tag = child.tag.split("}")[-1]
+            if tag == "pattern":
+                patterns.append(child.get("value"))
+            elif tag == "enumeration":
+                enums.append(child.get("value"))
+            elif tag in _VALUE_FACETS:
+                facets.append(_VALUE_FACETS[tag](int(child.get("value"))))
+            elif tag in _BOUND_FACETS:
+                facets.append(_BOUND_FACETS[tag](_parse_bound(child.get("value"))))
+            elif tag == "whiteSpace":
+                facets.append(S.WhiteSpace(child.get("value")))
+            elif tag == "explicitTimezone":
+                facets.append(S.ExplicitTimezone(child.get("value")))
+            elif tag == "assertion":
+                facets.append(S.Assertion(child.get("test")))
+            elif tag in ("simpleType", "annotation"):
+                pass
+            else:
+                ctx.restrictions.append(
+                    f"{where}: unsupported restriction facet xs:{tag} (skipped)"
+                )
+        if patterns:
+            # one restriction step's patterns OR together; the step itself
+            # ANDs with the base chain (one Pattern facet per step)
+            facets.append(S.Pattern(tuple(patterns)))
+        if enums:
+            facets.append(S.Enumeration(tuple(enums)))
+        return tuple(facets)
+
+    lst = st.find(_xs("list"))
+    if lst is not None:
+        item_ref = lst.get("itemType")
+        inline = lst.find(_xs("simpleType"))
+        items = (
+            _compile_simple(item_ref, ctx, where)
+            if item_ref
+            else _compile_simple(inline, ctx, where)
+        )
+        # keep only value-space item facets (row-context facets like Required
+        # are meaningless per list item)
+        items = tuple(f for f in items if not isinstance(f, (S.Required,
+                                                             S.Prohibited)))
+        return (S.ListOf(item_facets=items),)
+
+    union = st.find(_xs("union"))
+    if union is not None:
+        alts = []
+        member_types = (union.get("memberTypes") or "").split()
+        for m in member_types:
+            alts.append(_compile_simple(m, ctx, where))
+        for inline in union.findall(_xs("simpleType")):
+            alts.append(_compile_simple(inline, ctx, where))
+        return (S.UnionOf(alternatives=tuple(alts)),)
+
+    raise XsdCompileError(f"{where}: simpleType without restriction/list/union")
+
+
+# ---------------------------------------------------------------------------
+# complexType flattening
+# ---------------------------------------------------------------------------
+
+
+def _resolve_element(el: ET.Element, ctx: _Ctx) -> ET.Element:
+    ref = el.get("ref")
+    if ref:
+        local = _local(ref)
+        if local not in ctx.elements:
+            raise XsdCompileError(f"unresolved element ref {ref!r}")
+        return ctx.elements[local]
+    return el
+
+
+def _element_type(el: ET.Element, ctx: _Ctx):
+    """→ ('simple', facets) | ('complex', ctype_element) for one element."""
+    t = el.get("type")
+    if t:
+        local = _local(t)
+        if local in ctx.complex_types:
+            return "complex", ctx.complex_types[local]
+        return "simple", _compile_simple(t, ctx, el.get("name") or "")
+    inline_ct = el.find(_xs("complexType"))
+    if inline_ct is not None:
+        return "complex", inline_ct
+    inline_st = el.find(_xs("simpleType"))
+    if inline_st is not None:
+        return "simple", _compile_simple(inline_st, ctx, el.get("name") or "")
+    # no type = anyType; no constraints
+    return "simple", ()
+
+
+def _max_occurs(el: ET.Element) -> Optional[int]:
+    v = el.get("maxOccurs", "1")
+    return None if v == "unbounded" else int(v)
+
+
+def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
+                        cols: list, uniques: list, scope_col: str) -> None:
+    for attr in ct.findall(_xs("attribute")):
+        name = prefix + (attr.get("name") or _local(attr.get("ref")))
+        facets: list = []
+        use = attr.get("use", "optional")
+        if use == "required":
+            facets.append(S.Required())
+        elif use == "prohibited":
+            facets.append(S.Prohibited())
+        if attr.get("fixed") is not None:
+            facets.append(S.FixedValue(attr.get("fixed")))
+        t = attr.get("type")
+        type_local = _local(t) if t else ""
+        if t:
+            facets.extend(_compile_simple(t, ctx, name))
+        else:
+            inline = attr.find(_xs("simpleType"))
+            if inline is not None:
+                facets.extend(_compile_simple(inline, ctx, name))
+        cols.append(_Column(name, facets))
+        if type_local == "ID":
+            # xs:ID uniqueness: IDs are unique per document
+            # (identities via ID map, attributes ID handling)
+            uniques.append(
+                S.Unique(f"{name}-id-unique", fields=(name,), scope=scope_col)
+            )
+
+
+def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
+                  uniques: list, scope_col: str, in_choice: bool,
+                  table: str) -> None:
+    """Flatten one complexType's attributes + content into columns."""
+    _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col)
+    for group_tag in ("sequence", "all", "choice"):
+        for group in ct.findall(_xs(group_tag)):
+            child_in_choice = in_choice or group_tag == "choice"
+            for el in group.findall(_xs("element")):
+                decl = _resolve_element(el, ctx)
+                name = decl.get("name")
+                max_occ = _max_occurs(el)
+                min_occ = int(el.get("minOccurs", "1"))
+                kind, payload = _element_type(decl, ctx)
+                if kind == "simple":
+                    if max_occ is None or max_occ > 1:
+                        ctx.restrictions.append(
+                            f"{table}: repeated simple child {prefix}{name} "
+                            "has no flat column (skipped)"
+                        )
+                        continue
+                    facets = list(payload)
+                    if min_occ >= 1 and not child_in_choice:
+                        facets.insert(0, S.Required())
+                    if decl.get("fixed") is not None:
+                        facets.append(S.FixedValue(decl.get("fixed")))
+                    cols.append(_Column(prefix + name, facets))
+                else:
+                    if max_occ is None or max_occ > 1:
+                        ctx.restrictions.append(
+                            f"{table}: nested repeated group "
+                            f"{prefix}{name} below a row element (skipped; "
+                            "model it as its own table)"
+                        )
+                        continue
+                    _flatten_type(payload, ctx, prefix + name + "_", cols,
+                                  uniques, scope_col, child_in_choice, table)
+            for sub in group.findall(_xs("sequence")) + group.findall(
+                _xs("choice")
+            ):
+                # nested model groups: treat children like the parent's
+                ctx.restrictions.append(
+                    f"{table}: nested model group under {prefix or 'row'} "
+                    "(children compiled, group ordering not enforced)"
+                )
+                fake = ET.Element(_xs("complexType"))
+                fake.append(sub)
+                _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
+                              in_choice or sub.tag == _xs("choice"), table)
+
+
+# ---------------------------------------------------------------------------
+# identity constraints
+# ---------------------------------------------------------------------------
+
+
+def _xpath_tokens(xpath: str) -> list:
+    """Normalize a selector/field XPath to local-name tokens.
+
+    Handles the reference's supported forms (identities.py selector parsing):
+    leading ``./``, ``.//`` (descendant — treated as relative), namespace
+    prefixes stripped, ``@attr`` kept with its marker.
+    """
+    p = xpath.strip()
+    for lead in ("./", ".//", "//"):
+        if p.startswith(lead):
+            p = p[len(lead):]
+            break
+    if p == ".":
+        return []
+    tokens = []
+    for seg in p.split("/"):
+        seg = seg.strip()
+        if not seg or seg == ".":
+            continue
+        is_attr = seg.startswith("@")
+        seg = seg.lstrip("@")
+        seg = _local(seg)
+        tokens.append(("@" + seg) if is_attr else seg)
+    return tokens
+
+
+def _flatten_field(selector_rest: list, field_tokens: list) -> str:
+    parts = [t.lstrip("@") for t in selector_rest] + [
+        t.lstrip("@") for t in field_tokens
+    ]
+    return "_".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+# ---------------------------------------------------------------------------
+
+
+def compile_xsd(
+    source: Union[str, os.PathLike],
+    scope_col: str = "doc_id",
+    order_col: str = "row_idx",
+    row_elements: Optional[Sequence[str]] = None,
+    lexical: bool = True,
+    emit_occurs: bool = True,
+) -> CompiledXsd:
+    """Compile an XSD document to TableSpecs (one per row element).
+
+    ``source`` is a filesystem path or a literal XSD string.  ``scope_col``
+    / ``order_col`` name the document-id and document-order columns the flat
+    tables carry (the tabular stand-ins for the XML document identity and
+    child position).  ``row_elements`` overrides auto-detection (elements
+    with ``maxOccurs > 1`` and complex content directly under a global
+    element).  ``lexical=False`` compiles value-space checks only — for
+    tables whose columns are already decoded/typed.
+    """
+    text = None
+    if isinstance(source, str) and source.lstrip().startswith("<"):
+        text = source
+    else:
+        with open(source, "r", encoding="utf-8") as f:
+            text = f.read()
+    root = ET.parse(io.StringIO(text)).getroot()
+    if root.tag != _xs("schema"):
+        raise XsdCompileError(f"root element is {root.tag!r}, not xs:schema")
+
+    ctx = _Ctx(root=root, lexical=lexical)
+    for st in root.findall(_xs("simpleType")):
+        ctx.simple_types[st.get("name")] = st
+    for ct in root.findall(_xs("complexType")):
+        ctx.complex_types[ct.get("name")] = ct
+    for el in root.findall(_xs("element")):
+        ctx.elements[el.get("name")] = el
+
+    # --- row-element detection -------------------------------------------
+    # a row element is a repeated complex child directly under a global
+    # element's complexType (the collection/object shape); its parent is the
+    # per-document singleton whose identity constraints scope to scope_col
+    detected: dict = {}  # name -> (decl element, ctype, parent global element)
+    for gname, gel in ctx.elements.items():
+        _, gpayload = _element_type(gel, ctx)
+        if not isinstance(gpayload, ET.Element):
+            continue
+        for group_tag in ("sequence", "all", "choice"):
+            for group in gpayload.findall(_xs(group_tag)):
+                for el in group.findall(_xs("element")):
+                    decl = _resolve_element(el, ctx)
+                    max_occ = _max_occurs(el)
+                    if max_occ is not None and max_occ <= 1:
+                        continue
+                    kind, payload = _element_type(decl, ctx)
+                    if kind != "complex":
+                        continue
+                    detected[decl.get("name")] = (el, payload, gel)
+    if row_elements is not None:
+        missing = [r for r in row_elements if r not in detected]
+        if missing:
+            raise XsdCompileError(
+                f"row elements {missing} not found as repeated complex "
+                f"children of a global element (detected: {sorted(detected)})"
+            )
+        detected = {k: detected[k] for k in row_elements}
+    if not detected:
+        raise XsdCompileError(
+            "no row element: the schema has no repeated complex child under "
+            "a global element (pass row_elements= to override)"
+        )
+
+    # --- flatten each row element to columns ------------------------------
+    tables: dict = {}
+    table_uniques: dict = {}
+    table_model: dict = {}
+    for name, (el, ctype, _parent) in detected.items():
+        cols: list = []
+        uniques: list = []
+        _flatten_type(ctype, ctx, "", cols, uniques, scope_col,
+                      in_choice=False, table=name)
+        tables[name] = cols
+        table_uniques[name] = uniques
+        model: list = []
+        min_occ = int(el.get("minOccurs", "1"))
+        max_occ = _max_occurs(el)
+        if emit_occurs and (min_occ > 0 or max_occ is not None):
+            model.append(
+                S.Occurs(
+                    f"occurs-{name}", where="TRUE",
+                    min_occurs=min_occ, max_occurs=max_occ,
+                )
+            )
+        table_model[name] = model
+
+    # --- identity constraints ---------------------------------------------
+    # constraints may sit on ANY element declaration; resolve each selector
+    # to the row element it selects (identities.py:252-337)
+    keys_by_name: dict = {}  # key/unique name -> (table, field cols)
+    per_table_idents: dict = {n: list(table_uniques[n]) for n in tables}
+    pending_keyrefs: list = []
+
+    def walk_constraints(el: ET.Element):
+        for tag, cls in (("unique", S.Unique), ("key", S.Key),
+                         ("keyref", S.Keyref)):
+            for node in el.findall(_xs(tag)):
+                sel = node.find(_xs("selector")).get("xpath")
+                fields = [
+                    f.get("xpath") for f in node.findall(_xs("field"))
+                ]
+                sel_tokens = _xpath_tokens(sel)
+                # locate the row element along the selector path
+                table = None
+                rest: list = []
+                for i, t in enumerate(sel_tokens):
+                    if t in tables:
+                        table = t
+                        rest = sel_tokens[i + 1:]
+                        break
+                if table is None:
+                    ctx.restrictions.append(
+                        f"identity {node.get('name')!r}: selector {sel!r} "
+                        "does not reach a row element (skipped)"
+                    )
+                    continue
+                cols = tuple(
+                    _flatten_field(rest, _xpath_tokens(fx)) for fx in fields
+                )
+                known = {c.name for c in tables[table]}
+                bad = [c for c in cols if c not in known]
+                if bad:
+                    ctx.restrictions.append(
+                        f"identity {node.get('name')!r}: fields {bad} not "
+                        f"columns of {table} (skipped)"
+                    )
+                    continue
+                if tag == "keyref":
+                    pending_keyrefs.append((node.get("name"), table, cols,
+                                            _local(node.get("refer"))))
+                else:
+                    per_table_idents[table].append(
+                        cls(node.get("name"), fields=cols, scope=scope_col)
+                    )
+                    keys_by_name[node.get("name")] = (table, cols)
+        for child in el:
+            if child.tag in (_xs("complexType"), _xs("sequence"),
+                             _xs("all"), _xs("choice"), _xs("element")):
+                walk_constraints(child)
+
+    for gel in ctx.elements.values():
+        walk_constraints(gel)
+    for ct in ctx.complex_types.values():
+        walk_constraints(ct)
+
+    external: list = []
+    for name, table, cols, refer in pending_keyrefs:
+        if refer not in keys_by_name:
+            ctx.restrictions.append(
+                f"keyref {name!r}: refers to unknown key {refer!r} (skipped)"
+            )
+            continue
+        key_table, key_cols = keys_by_name[refer]
+        kr = S.Keyref(
+            name, fields=cols, refer_fields=key_cols, scope=scope_col
+        )
+        if key_table == table:
+            per_table_idents[table].append(kr)
+        else:
+            external.append(
+                ExternalKeyref(kr, table=table, key_table=key_table,
+                               key_selector_cols=key_cols)
+            )
+
+    specs = {
+        name: S.TableSpec(
+            name=name,
+            scope_col=scope_col,
+            order_col=order_col,
+            columns=tuple(
+                S.ColumnSpec(c.name, tuple(c.facets)) for c in tables[name]
+            ),
+            identities=tuple(per_table_idents[name]),
+            model=tuple(table_model[name]),
+        )
+        for name in tables
+    }
+    return CompiledXsd(
+        specs=specs,
+        external_keyrefs=tuple(external),
+        restrictions=tuple(ctx.restrictions),
+    )
+
+
+def xsd_to_spec(
+    source: Union[str, os.PathLike],
+    row_element: Optional[str] = None,
+    **kwargs,
+) -> S.TableSpec:
+    """Single-table convenience: ``XMLSchema('x.xsd')`` → one TableSpec."""
+    compiled = compile_xsd(
+        source,
+        row_elements=[row_element] if row_element else None,
+        **kwargs,
+    )
+    return compiled.spec(row_element)

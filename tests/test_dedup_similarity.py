@@ -170,7 +170,9 @@ def test_embedding_dup_pairs(spark):
         ],
         "id int, v array<double>",
     )
-    pairs = dedup.embedding_dup_pairs(df, "id", "v", threshold=0.95).collect()
+    pairs = dedup.embedding_dup_pairs(
+        df, "id", "v", threshold=0.95, allow_global=True
+    ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
@@ -185,7 +187,9 @@ def test_bucketed_embedding_dups_subset_of_bruteforce(spark):
     df = spark.createDataFrame(rows, "id int, v array<double>")
     brute = {
         (r["id_a"], r["id_b"])
-        for r in dedup.embedding_dup_pairs(df, "id", "v", 0.99).collect()
+        for r in dedup.embedding_dup_pairs(
+            df, "id", "v", 0.99, allow_global=True
+        ).collect()
     }
     planes = portable_planes(3, 4)
     bucketed = {

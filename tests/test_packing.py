@@ -112,8 +112,9 @@ def test_pack_invalid_params(spark):
 
 
 def test_chunk_with_overlap_hand_worked(spark):
-    """10 tokens, chunk 4, stride 3 -> starts 0,3,6,9; tail partial window;
-    every token covered; overlap regions repeat across windows."""
+    """10 tokens, chunk 4, stride 3 -> starts 0,3,6 (the window at 9 would
+    contain only tokens already covered by the window at 6, so it is NOT
+    emitted); every token covered; overlap regions repeat across windows."""
     from sissaschool_xmlschema_spark.operators.packing import chunk_with_overlap
 
     text = " ".join(f"t{i}" for i in range(10))
@@ -124,11 +125,11 @@ def test_chunk_with_overlap_hand_worked(spark):
         key=lambda r: r.chunk_idx,
     )
     assert [(r.start_token, r.n_chunk_tokens) for r in rows] == [
-        (0, 4), (3, 4), (6, 4), (9, 1),
+        (0, 4), (3, 4), (6, 4),
     ]
     assert rows[0].chunk_text == "t0 t1 t2 t3"
     assert rows[1].chunk_text == "t3 t4 t5 t6"   # overlap token t3
-    assert rows[3].chunk_text == "t9"
+    assert rows[2].chunk_text == "t6 t7 t8 t9"   # tail covered, no extra window
     # every token appears in at least one chunk
     covered = set()
     for r in rows:
@@ -151,3 +152,16 @@ def test_chunk_with_overlap_edges(spark):
     assert got[3] == (1, "")       # empty text -> one empty-token chunk
     with _pytest.raises(ValueError):
         chunk_with_overlap(df, "doc_id", "text", chunk_tokens=4, stride=5)
+
+    # regression: n=100, chunk=64, stride=48 — the window at 96 would hold
+    # only tokens already covered by the window at 48; exactly two windows
+    df2 = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    starts = sorted(
+        r.start_token
+        for r in chunk_with_overlap(
+            df2, "doc_id", "text", chunk_tokens=64, stride=48
+        ).collect()
+    )
+    assert starts == [0, 48]

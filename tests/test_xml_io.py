@@ -109,7 +109,13 @@ def test_corrupt_record_channel(spark):
             F.col("xml")
         ),
     )
-    dec = decode_turn_xml(broken, xml_col="xml")
+    # kept input columns must not collide with decoded field names — the
+    # overlap guard raises instead of emitting duplicate columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide with decoded"):
+        decode_turn_xml(broken, xml_col="xml")
+    dec = decode_turn_xml(broken.select("xml"), xml_col="xml")
     bad = dec.filter(F.col("_corrupt_record").isNotNull())
     assert bad.count() == 2  # c1/1 and c2/1 truncated
     # corrupted rows carry no parsed role

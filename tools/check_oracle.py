@@ -90,6 +90,14 @@ def normalize(df):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--emit-json",
+        metavar="PATH",
+        help="also write driver-format rows (rows_match/schema_match/"
+        "hash_match/spark_rows/oracle_rows/err per query) to PATH — keeps a "
+        "committed local twin of CORRECTNESS_r{N}.json covering the FULL "
+        "registry even when the driver snapshot lags the round",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -121,30 +129,45 @@ def main() -> int:
     oracles = entry.oracle_sql()
     selected = args.queries or list(qs)
     n_fail = 0
+    report = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name in selected:
         fn = qs[name]
         try:
             sdf = fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            record(name, err=f"spark:{type(e).__name__}")
             n_fail += 1
             continue
         if name == "stats_approx":
             problems = check_stats_approx_bounds(sdf, con, entry._CTE)
             if problems:
                 print(f"FAIL  {name}: bounds: " + "; ".join(problems))
+                record(name, spark_rows=len(sdf), err="bounds:" + ";".join(problems))
                 n_fail += 1
             else:
                 print(f"ok    {name} (bounds check: HLL within 3*rsd, "
                       "percentiles inside exact neighbors)")
+                record(name, spark_rows=len(sdf), err="bounds_checked_ok")
             continue
         if name not in oracles:
             print(f"skip  {name}: rows-only ({len(sdf)} rows)")
+            record(name, spark_rows=len(sdf), err="no_oracle")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+            record(name, spark_rows=len(sdf), err=f"oracle:{type(e).__name__}")
             n_fail += 1
             continue
         problems = []
@@ -164,10 +187,24 @@ def main() -> int:
                 )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            record(name,
+                   rows_match=len(sdf) == len(odf),
+                   schema_match=sorted(sdf.columns) == sorted(odf.columns),
+                   hash_match=False,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="; ".join(problems))
             n_fail += 1
         else:
             print(f"ok    {name} ({len(sdf)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf))
     print(f"\n{len(selected) - n_fail}/{len(selected)} passed")
+    if args.emit_json:
+        import json
+
+        with open(args.emit_json, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {len(report)} rows to {args.emit_json}")
     return 1 if n_fail else 0
 
 
