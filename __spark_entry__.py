@@ -1228,6 +1228,156 @@ def q_text_normalized(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# XSD front door + builtin lexical long tail
+# ---------------------------------------------------------------------------
+
+# the transcript schema as an actual XSD DOCUMENT — the reference's native
+# input format (XMLSchema('schema.xsd'), schemas.py:149); compiled on the
+# driver by xsd_compile.compile_xsd into the same TableSpec machinery every
+# other validation query uses
+TRANSCRIPT_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="conversation">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="turn" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="role">
+                <xs:simpleType>
+                  <xs:restriction base="xs:string">
+                    <xs:enumeration value="system"/>
+                    <xs:enumeration value="user"/>
+                    <xs:enumeration value="assistant"/>
+                    <xs:enumeration value="tool"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:element name="text">
+                <xs:simpleType>
+                  <xs:restriction base="xs:string">
+                    <xs:minLength value="1"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:element name="tool" minOccurs="0">
+                <xs:simpleType>
+                  <xs:restriction base="xs:string">
+                    <xs:pattern value="tool-[0-9]{3}"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:element name="ts" type="xs:dateTime"/>
+            </xs:sequence>
+            <xs:attribute name="turn_idx" type="xs:nonNegativeInteger"
+                          use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+    <xs:key name="turn-key">
+      <xs:selector xpath="turn"/>
+      <xs:field xpath="@turn_idx"/>
+    </xs:key>
+  </xs:element>
+</xs:schema>
+"""
+
+# deterministic ts corruption shared by query and oracle: every turn with
+# turn_idx % 13 = 5 renders its timestamp with a space instead of the 'T'
+# (an invalid xs:dateTime lexical), everything else renders canonical ISO
+_TS_CORRUPT_SQL = (
+    "CASE WHEN turn_idx % 13 = 5 THEN replace({iso}, 'T', ' ') "
+    "ELSE {iso} END"
+)
+
+
+def q_xsd_frontdoor(spark, sf_dir):
+    """THE XSD-document front door end-to-end: parse a real XSD document
+    (TRANSCRIPT_XSD) into a TableSpec on the driver (xsd_compile, the
+    XMLSchema('schema.xsd') analogue — schemas.py:149) and run the compiled
+    plan over the transcripts view, violations grouped by constraint id.
+    Exercises: enumeration/minLength/pattern facets from inline simpleTypes,
+    a required xs:nonNegativeInteger attribute (builtin lexical + width
+    assertion), xs:dateTime lexical space on a rendered ISO column with
+    deterministically planted corruption, and xs:key from selector/field
+    XPaths."""
+    from sissaschool_xmlschema_spark.xsd_compile import xsd_to_spec
+
+    spec = xsd_to_spec(
+        TRANSCRIPT_XSD, scope_col="conv_id", order_col="turn_idx"
+    )
+    iso = 'date_format(ts, "yyyy-MM-dd\'T\'HH:mm:ss")'
+    t = _t(spark, sf_dir).withColumn(
+        "ts", F.expr(_TS_CORRUPT_SQL.format(iso=iso))
+    )
+    res = validate(t, spec)
+    return res.violations.groupBy("constraint_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# deterministic lexical-form constructions shared VERBATIM by the Spark
+# query (selectExpr) and the DuckDB oracle — valid and invalid duration /
+# calendar / time lexicals keyed on turn_idx
+_LEX_K = "((turn_idx % 7) + 7) % 7"
+_LEX_M = "(((turn_idx % 12) + 12) % 12) + 1"
+_LEX_DUR = f"""CASE {_LEX_K}
+  WHEN 0 THEN 'P' || CAST({_LEX_M} AS STRING) || 'D'
+  WHEN 1 THEN 'PT' || CAST({_LEX_M} AS STRING) || 'H'
+  WHEN 2 THEN 'P'
+  WHEN 3 THEN 'P1S'
+  WHEN 4 THEN '-P2Y3M'
+  WHEN 5 THEN 'P1Y2M3DT4H5M6.7S'
+  ELSE 'PT' END"""
+_LEX_YM = f"""CASE {_LEX_K}
+  WHEN 0 THEN 'P' || CAST({_LEX_M} AS STRING) || 'Y'
+  WHEN 1 THEN 'P' || CAST({_LEX_M} AS STRING) || 'M'
+  WHEN 2 THEN 'P1D'
+  WHEN 3 THEN '-P2Y6M'
+  ELSE 'P' END"""
+_LEX_GMD = f"'--' || lpad(CAST({_LEX_M} AS STRING), 2, '0') || '-31'"
+_LEX_TM = f"""CASE WHEN {_LEX_K} < 3
+  THEN lpad(CAST(((turn_idx % 24) + 24) % 24 AS STRING), 2, '0') || ':15:30'
+  WHEN {_LEX_K} = 3 THEN '24:00:00'
+  WHEN {_LEX_K} = 4 THEN '24:00:01'
+  WHEN {_LEX_K} = 5 THEN '12:30'
+  ELSE '23:59:59.5Z' END"""
+
+
+def q_builtin_lexicals(spark, sf_dir):
+    """Builtin lexical-space long tail (builtins.py:365-500) as contract
+    checks: duration / yearMonthDuration / gMonthDay / time lexicals built
+    deterministically from turn_idx (a mix of valid and invalid forms —
+    'P1S', '--02-31', '24:00:01', ...), validated by the anchored-regex
+    BuiltinLexical facets in one row-local pass, violations grouped by
+    constraint id."""
+    t = _t(spark, sf_dir).selectExpr(
+        "conv_id",
+        "turn_idx",
+        f"{_LEX_DUR} AS dur",
+        f"{_LEX_YM} AS ym",
+        f"{_LEX_GMD} AS gmd",
+        f"{_LEX_TM} AS tm",
+    )
+    spec = S.TableSpec(
+        name="lexicals",
+        scope_col="conv_id",
+        order_col="turn_idx",
+        columns=(
+            S.ColumnSpec("dur", (S.BuiltinLexical("duration"),)),
+            S.ColumnSpec("ym", (S.BuiltinLexical("yearMonthDuration"),)),
+            S.ColumnSpec("gmd", (S.BuiltinLexical("gMonthDay"),)),
+            S.ColumnSpec("tm", (S.BuiltinLexical("time"),)),
+        ),
+    )
+    res = validate(t, spec)
+    return res.violations.groupBy("constraint_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 _MIX_TARGET = {"en": 0.5, "fr": 0.3, "de": 0.2}
 _MIX_BUDGET = 100_000
 
@@ -1496,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "text_normalized": q_text_normalized,
+        "xsd_frontdoor": q_xsd_frontdoor,
+        "builtin_lexicals": q_builtin_lexicals,
     }
 
 
@@ -2955,6 +3107,90 @@ SELECT doc_id,
                                 + 1.5*f4 - 1.0*f5 - 0.5*f6))), 6)
          AS quality_p
 FROM f
+"""
+
+    # XSD front door: the oracle replicates every check the PARSED schema
+    # compiles to — facets judge present values only (NULL passes, NOT IN
+    # with NULL role is NULL → not counted, matching _null_ok)
+    from sissaschool_xmlschema_spark.functions.lexical import (
+        lexical_java_regex as _ljr,
+    )
+
+    _iso_duck = "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    _ts_duck = _TS_CORRUPT_SQL.format(iso=_iso_duck)
+    sql["xsd_frontdoor"] = f"""
+WITH t0 AS ({_CTE}),
+t AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         {_ts_duck} AS ts
+  FROM t0),
+viol AS (
+  SELECT 'facet:role:Required' AS constraint_id FROM t WHERE role IS NULL
+  UNION ALL
+  SELECT 'facet:role:Enumeration' FROM t WHERE role NOT IN {_ROLE_ENUM}
+  UNION ALL
+  SELECT 'facet:text:Required' FROM t WHERE text IS NULL
+  UNION ALL
+  SELECT 'facet:text:MinLength' FROM t
+  WHERE text IS NOT NULL AND length(text) < 1
+  UNION ALL
+  SELECT 'facet:tool:Pattern' FROM t
+  WHERE tool IS NOT NULL AND NOT regexp_full_match(tool, 'tool-[0-9]{{3}}')
+  UNION ALL
+  SELECT 'facet:ts:Required' FROM t WHERE ts IS NULL
+  UNION ALL
+  SELECT 'facet:ts:BuiltinLexical' FROM t
+  WHERE ts IS NOT NULL AND NOT regexp_full_match(ts, '{_ljr("dateTime")}')
+  UNION ALL
+  SELECT 'facet:turn_idx:Required' FROM t WHERE turn_idx IS NULL
+  UNION ALL
+  SELECT 'facet:turn_idx:BuiltinLexical' FROM t
+  WHERE turn_idx IS NOT NULL AND NOT regexp_full_match(
+    CAST(turn_idx AS STRING), '{_ljr("nonNegativeInteger")}')
+  UNION ALL
+  SELECT 'facet:turn_idx:Assertion' FROM t
+  WHERE turn_idx IS NOT NULL
+    AND NOT (TRY_CAST(turn_idx AS DECIMAL(38,0)) >= 0)
+  UNION ALL
+  SELECT 'key:turn-key' FROM (
+    SELECT conv_id, turn_idx FROM t WHERE turn_idx IS NOT NULL
+    GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+  )
+  UNION ALL
+  SELECT 'key:turn-key:missing-field' FROM t WHERE turn_idx IS NULL
+)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM viol GROUP BY constraint_id
+"""
+
+    # builtin lexical long tail: the SAME construction SQL builds the
+    # lexical columns on both engines; the oracle re-checks them with the
+    # translated anchored regexes (RE2-compatible subset — no \\i/\\c here)
+    sql["builtin_lexicals"] = f"""
+WITH t0 AS ({_CTE}),
+t AS (
+  SELECT conv_id, turn_idx,
+         {_LEX_DUR} AS dur,
+         {_LEX_YM} AS ym,
+         {_LEX_GMD} AS gmd,
+         {_LEX_TM} AS tm
+  FROM t0),
+viol AS (
+  SELECT 'facet:dur:BuiltinLexical' AS constraint_id FROM t
+  WHERE dur IS NOT NULL AND NOT regexp_full_match(dur, '{_ljr("duration")}')
+  UNION ALL
+  SELECT 'facet:ym:BuiltinLexical' FROM t
+  WHERE ym IS NOT NULL
+    AND NOT regexp_full_match(ym, '{_ljr("yearMonthDuration")}')
+  UNION ALL
+  SELECT 'facet:gmd:BuiltinLexical' FROM t
+  WHERE gmd IS NOT NULL AND NOT regexp_full_match(gmd, '{_ljr("gMonthDay")}')
+  UNION ALL
+  SELECT 'facet:tm:BuiltinLexical' FROM t
+  WHERE tm IS NOT NULL AND NOT regexp_full_match(tm, '{_ljr("time")}')
+)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM viol GROUP BY constraint_id
 """
 
     # conditional type assignment: first-match-wins arm gates as CASE order

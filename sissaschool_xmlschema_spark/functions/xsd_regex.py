@@ -22,9 +22,10 @@ from __future__ import annotations
 import re
 
 # XML NameStartChar / NameChar per XML 1.0 5th ed, restricted to the BMP — the
-# same classes elementpath expands \i/\c into.
+# same classes elementpath expands \i/\c into.  ':' IS a NameStartChar (the
+# XML production includes it; NCName subtracts it back out with [\i-[:]]).
 _NAME_START = (
-    "A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF\\u0370-\\u037D"
+    ":A-Z_a-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u02FF\\u0370-\\u037D"
     "\\u037F-\\u1FFF\\u200C-\\u200D\\u2070-\\u218F\\u2C00-\\u2FEF"
     "\\u3001-\\uD7FF\\uF900-\\uFDCF\\uFDF0-\\uFFFD"
 )

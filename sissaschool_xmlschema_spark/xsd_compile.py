@@ -549,11 +549,17 @@ def compile_xsd(
     keys_by_name: dict = {}  # key/unique name -> (table, field cols)
     per_table_idents: dict = {n: list(table_uniques[n]) for n in tables}
     pending_keyrefs: list = []
+    seen_constraints: set = set()
 
     def walk_constraints(el: ET.Element):
         for tag, cls in (("unique", S.Unique), ("key", S.Key),
                          ("keyref", S.Keyref)):
             for node in el.findall(_xs(tag)):
+                # a named/ref'd type can be reached from several walks;
+                # constraint names are unique per schema — compile once
+                if node.get("name") in seen_constraints:
+                    continue
+                seen_constraints.add(node.get("name"))
                 sel = node.find(_xs("selector")).get("xpath")
                 fields = [
                     f.get("xpath") for f in node.findall(_xs("field"))

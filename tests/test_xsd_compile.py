@@ -1,0 +1,281 @@
+"""Unit coverage for the XSD front door (xsd_compile.compile_xsd) — the
+engine's ``XMLSchema('schema.xsd')`` analogue (schemas.py:149, loaders.py
+:84-167), restricted to the flat-table subset."""
+
+import pytest
+
+from sissaschool_xmlschema_spark import spec as S
+from sissaschool_xmlschema_spark.plans.runner import validate
+from sissaschool_xmlschema_spark.spec_io import spec_from_dict, spec_to_dict
+from sissaschool_xmlschema_spark.xsd_compile import (
+    XsdCompileError,
+    compile_xsd,
+    xsd_to_spec,
+)
+
+XS = 'xmlns:xs="http://www.w3.org/2001/XMLSchema"'
+
+
+def wrap(body: str) -> str:
+    return f'<?xml version="1.0"?><xs:schema {XS}>{body}</xs:schema>'
+
+
+ROW_SCHEMA = wrap("""
+  <xs:simpleType name="grade">
+    <xs:restriction base="xs:string">
+      <xs:enumeration value="A"/><xs:enumeration value="B"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="codeBase">
+    <xs:restriction base="xs:token">
+      <xs:pattern value="[a-z]+"/><xs:pattern value="[0-9]+"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="code">
+    <xs:restriction base="codeBase">
+      <xs:minLength value="2"/>
+      <xs:pattern value=".{2,8}"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:element name="doc">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded" minOccurs="2">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="grade" type="grade"/>
+              <xs:element name="code" type="code" minOccurs="0"/>
+              <xs:element name="score">
+                <xs:simpleType>
+                  <xs:restriction base="xs:int">
+                    <xs:minInclusive value="0"/>
+                    <xs:maxExclusive value="100"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:choice>
+                <xs:element name="note" type="xs:string"/>
+                <xs:element name="flag" type="xs:boolean"/>
+              </xs:choice>
+            </xs:sequence>
+            <xs:attribute name="rid" type="xs:ID" use="required"/>
+            <xs:attribute name="kind" type="xs:NCName" fixed="std"/>
+            <xs:attribute name="legacy" type="xs:string" use="prohibited"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+    </xs:complexType>
+    <xs:unique name="grade-code-unique">
+      <xs:selector xpath="./row"/>
+      <xs:field xpath="@rid"/><xs:field xpath="code"/>
+    </xs:unique>
+  </xs:element>
+""")
+
+
+@pytest.fixture(scope="module")
+def row_spec():
+    return xsd_to_spec(ROW_SCHEMA)
+
+
+def test_columns_and_facets(row_spec):
+    cols = {c.name: c for c in row_spec.columns}
+    assert set(cols) == {"rid", "kind", "legacy", "grade", "code", "score",
+                         "note", "flag"}
+    # attribute use=required / fixed / prohibited (attributes.py:663-709)
+    assert any(isinstance(f, S.Required) for f in cols["rid"].facets)
+    assert any(
+        isinstance(f, S.FixedValue) and f.value == "std"
+        for f in cols["kind"].facets
+    )
+    assert any(isinstance(f, S.Prohibited) for f in cols["legacy"].facets)
+    # enumeration through a named simpleType
+    assert any(
+        isinstance(f, S.Enumeration) and tuple(f.values) == ("A", "B")
+        for f in cols["grade"].facets
+    )
+    # minOccurs=1 child → Required; minOccurs=0 → not
+    assert any(isinstance(f, S.Required) for f in cols["grade"].facets)
+    assert not any(isinstance(f, S.Required) for f in cols["code"].facets)
+    # choice members are never Required (either branch may be absent)
+    assert not any(isinstance(f, S.Required) for f in cols["note"].facets)
+    assert not any(isinstance(f, S.Required) for f in cols["flag"].facets)
+
+
+def test_pattern_steps_and_inheritance(row_spec):
+    """Patterns OR within one restriction step and AND across derivation
+    steps (facets.py:798-804): code inherits token's whiteSpace, codeBase's
+    ([a-z]+|[0-9]+) step, and adds its own .{2,8} step + minLength."""
+    code = next(c for c in row_spec.columns if c.name == "code")
+    patterns = [f for f in code.facets if isinstance(f, S.Pattern)]
+    assert len(patterns) == 2  # one per derivation step — they AND
+    assert tuple(patterns[0].patterns) == ("[a-z]+", "[0-9]+")  # step ORs
+    assert tuple(patterns[1].patterns) == (".{2,8}",)
+    assert any(isinstance(f, S.WhiteSpace) and f.value == "collapse"
+               for f in code.facets)
+    assert any(isinstance(f, S.MinLength) and f.value == 2
+               for f in code.facets)
+
+
+def test_int_restriction_bounds(row_spec):
+    score = next(c for c in row_spec.columns if c.name == "score")
+    assert any(isinstance(f, S.MinInclusive) and f.value == 0
+               for f in score.facets)
+    assert any(isinstance(f, S.MaxExclusive) and f.value == 100
+               for f in score.facets)
+    # base xs:int contributes its lexical + width assertion
+    assert any(isinstance(f, S.BuiltinLexical) and f.type_name == "int"
+               for f in score.facets)
+
+
+def test_identities_and_occurs(row_spec):
+    uniques = [i for i in row_spec.identities if isinstance(i, S.Unique)]
+    named = {u.name: u for u in uniques}
+    # multi-field unique with ./ selector and @attr + child fields
+    assert named["grade-code-unique"].fields == ("rid", "code")
+    # xs:ID attribute → per-document uniqueness
+    assert named["rid-id-unique"].fields == ("rid",)
+    occ = [m for m in row_spec.model if isinstance(m, S.Occurs)]
+    assert occ and occ[0].min_occurs == 2  # row minOccurs="2"
+
+
+def test_end_to_end_validation(spark, row_spec):
+    df = spark.createDataFrame(
+        [
+            ("d0", "0", "r1", "std", None, "A", "ab", "50", "hi", None),
+            # duplicate rid within the doc + enum violation + score range
+            ("d0", "1", "r1", "std", None, "C", "abc", "100", None, "true"),
+            # pattern violation (mixed alnum fails both step-1 branches)
+            ("d0", "2", "r3", "std", None, "B", "a1", "5", "x", None),
+        ],
+        "doc_id string, row_idx string, rid string, kind string, "
+        "legacy string, grade string, code string, score string, "
+        "note string, flag string",
+    )
+    v = validate(df, row_spec).violations
+    by_id = {
+        r["constraint_id"]: r["n"]
+        for r in v.groupBy("constraint_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_id.get("unique:rid-id-unique") == 1
+    assert by_id.get("facet:grade:Enumeration") == 1
+    assert by_id.get("facet:score:MaxExclusive") == 1
+    assert by_id.get("facet:code:Pattern") == 1
+
+
+def test_lexical_false_drops_regex_keeps_values(spark):
+    sp = xsd_to_spec(ROW_SCHEMA, lexical=False)
+    score = next(c for c in sp.columns if c.name == "score")
+    assert not any(isinstance(f, S.BuiltinLexical) for f in score.facets)
+    assert any(isinstance(f, S.MinInclusive) for f in score.facets)
+
+
+def test_descendant_selector_and_prefixes():
+    schema = wrap("""
+      <xs:element name="root">
+        <xs:complexType><xs:sequence>
+          <xs:element name="item" maxOccurs="unbounded">
+            <xs:complexType>
+              <xs:sequence><xs:element name="sku" type="xs:string"/></xs:sequence>
+            </xs:complexType>
+          </xs:element>
+        </xs:sequence></xs:complexType>
+        <xs:key name="sku-key">
+          <xs:selector xpath=".//p:item"/>
+          <xs:field xpath="p:sku"/>
+        </xs:key>
+      </xs:element>
+    """)
+    sp = xsd_to_spec(schema)
+    keys = [i for i in sp.identities if isinstance(i, S.Key)]
+    assert keys and keys[0].fields == ("sku",)
+
+
+def test_list_and_union_types():
+    schema = wrap("""
+      <xs:simpleType name="sizes">
+        <xs:list itemType="xs:positiveInteger"/>
+      </xs:simpleType>
+      <xs:simpleType name="intOrWord">
+        <xs:union memberTypes="xs:integer">
+          <xs:simpleType>
+            <xs:restriction base="xs:string"><xs:pattern value="[a-z]+"/>
+            </xs:restriction>
+          </xs:simpleType>
+        </xs:union>
+      </xs:simpleType>
+      <xs:element name="root">
+        <xs:complexType><xs:sequence>
+          <xs:element name="r" maxOccurs="unbounded">
+            <xs:complexType>
+              <xs:sequence>
+                <xs:element name="sizes" type="sizes"/>
+                <xs:element name="v" type="intOrWord"/>
+              </xs:sequence>
+            </xs:complexType>
+          </xs:element>
+        </xs:sequence></xs:complexType>
+      </xs:element>
+    """)
+    sp = xsd_to_spec(schema)
+    cols = {c.name: c for c in sp.columns}
+    lst = next(f for f in cols["sizes"].facets if isinstance(f, S.ListOf))
+    assert any(isinstance(f, S.BuiltinLexical) for f in lst.item_facets)
+    uni = next(f for f in cols["v"].facets if isinstance(f, S.UnionOf))
+    assert len(uni.alternatives) == 2
+
+
+def test_assertion_and_explicit_timezone():
+    schema = wrap("""
+      <xs:element name="root">
+        <xs:complexType><xs:sequence>
+          <xs:element name="r" maxOccurs="unbounded">
+            <xs:complexType><xs:sequence>
+              <xs:element name="stamp">
+                <xs:simpleType>
+                  <xs:restriction base="xs:dateTime">
+                    <xs:explicitTimezone value="required"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:element name="even">
+                <xs:simpleType>
+                  <xs:restriction base="xs:integer">
+                    <xs:assertion test="$value mod 2 = 0"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+            </xs:sequence></xs:complexType>
+          </xs:element>
+        </xs:sequence></xs:complexType>
+      </xs:element>
+    """)
+    sp = xsd_to_spec(schema)
+    cols = {c.name: c for c in sp.columns}
+    assert any(isinstance(f, S.ExplicitTimezone) and f.value == "required"
+               for f in cols["stamp"].facets)
+    assert any(isinstance(f, S.Assertion) and "mod 2" in f.expr
+               for f in cols["even"].facets)
+
+
+def test_errors_are_loud():
+    with pytest.raises(XsdCompileError, match="no row element"):
+        compile_xsd(wrap('<xs:element name="only" type="xs:string"/>'))
+    with pytest.raises(XsdCompileError, match="unresolved simpleType"):
+        compile_xsd(wrap("""
+          <xs:element name="root"><xs:complexType><xs:sequence>
+            <xs:element name="r" maxOccurs="unbounded">
+              <xs:complexType><xs:sequence>
+                <xs:element name="x" type="noSuchType"/>
+              </xs:sequence></xs:complexType>
+            </xs:element>
+          </xs:sequence></xs:complexType></xs:element>
+        """))
+    with pytest.raises(XsdCompileError, match="not found"):
+        compile_xsd(ROW_SCHEMA, row_elements=["nope"])
+
+
+def test_builtin_lexical_spec_io_roundtrip(row_spec):
+    back = spec_from_dict(spec_to_dict(row_spec))
+    assert back == row_spec
