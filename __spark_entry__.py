@@ -185,6 +185,24 @@ def q_keyref_tool(spark, sf_dir):
     return m.select("conv_id", "tool", F.col("_n").alias("n"))
 
 
+def q_keyref_ancestor(spark, sf_dir):
+    """Cross-domain keyref (refer_path, identities.py:317-334): the key is
+    defined at a BROADER scope than the keyref — any conversation's declared
+    tool satisfies the reference, so the anti-join ignores the key side's
+    scope while violations still report per (conv_id, tool)."""
+    c = S.Keyref(
+        "tool-ref-doc",
+        fields=("tool",),
+        refer_fields=("tool",),
+        scope="conv_id",
+        refer_scope=None,
+        selector="role = 'tool'",
+        refer_selector="role = 'assistant' AND tool IS NOT NULL",
+    )
+    m = keyref_misses(_t(spark, sf_dir), c)
+    return m.select("conv_id", "tool", F.col("_n").alias("n"))
+
+
 def _window_family(spark, sf_dir, constraint_id):
     sp = events_transcript_spec()
     v = model_window_violations(
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_tool": q_pattern_tool,
         "unique_turn": q_unique_turn,
         "keyref_tool": q_keyref_tool,
+        "keyref_ancestor": q_keyref_ancestor,
         "contiguity": q_contiguity,
         "ts_monotone": q_ts_monotone,
         "first_turn": q_first_turn,
@@ -1685,6 +1704,20 @@ GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
     sql["keyref_tool"] = f"""
 WITH t AS ({_CTE})
 {_KEYREF_MISS_GROUPS}
+"""
+
+    # key at document scope (refer_scope=None): the NOT EXISTS drops the
+    # per-conversation correlation — any conv's assistant declaration counts
+    sql["keyref_ancestor"] = f"""
+WITH t AS ({_CTE})
+SELECT r.conv_id, r.tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM t r
+WHERE r.role = 'tool' AND r.tool IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM t k
+    WHERE k.role = 'assistant' AND k.tool = r.tool
+  )
+GROUP BY r.conv_id, r.tool
 """
 
     sql["contiguity"] = f"""
@@ -2898,15 +2931,17 @@ SELECT doc_id, norm_text,
 FROM n
 """
 
+    # tokenization matches text.whitespace_tokens: split on \s+, drop empties
     sql["bm25_topk"] = """
-WITH tok AS (
+WITH wt AS (
   SELECT doc_id,
-         unnest(string_split(lower(text), ' ')) AS term,
-         len(string_split(lower(text), ' ')) AS dl
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
   FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM wt),
 corpus AS (
-  SELECT COUNT(*) AS n_docs, AVG(len(string_split(lower(text), ' '))) AS avgdl
-  FROM documents),
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM wt),
 m AS (SELECT * FROM tok WHERE term IN ('broadcast', 'shuffle', 'window')),
 dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
 tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM m GROUP BY doc_id, term, dl),

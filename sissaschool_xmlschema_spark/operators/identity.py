@@ -136,13 +136,27 @@ def keyref_misses(df: DataFrame, c: S.Keyref,
     cross-table analogue of refer_path scope propagation, identities.py:317-334);
     by default keys come from the same DataFrame.
 
+    ``c.refer_scope`` resolves cross-domain keyrefs (refer_path,
+    identities.py:317-334): ``None`` makes the key side document-wide (a key
+    defined on a BROADER domain than the keyref), a different column name is
+    the scope-mapping join, and a scoped key under a ``scope=None`` keyref is
+    the upward-propagation merge (per-scope key tables union at the ancestor
+    — the distinct over refer_fields only).  The scope participates in the
+    join only when BOTH sides have one.
+
     **Fused same-table path**: when the keyref and its referred key live on the
     same DataFrame over the same field tuple, the anti-join collapses into ONE
     groupBy with two conditional counts — a tuple is missing iff it has
     referencing rows and zero key rows.  One shuffle instead of three (distinct
     + join + count), ~4x faster at 10^6 rows and shuffle-count-stable at 10^12.
     """
-    if keys_df is None and tuple(c.fields) == tuple(c.refer_fields):
+    same_scope = c.refer_scope == S.SAME_SCOPE
+    ref_scope = c.scope if same_scope else c.refer_scope
+    if (
+        keys_df is None
+        and tuple(c.fields) == tuple(c.refer_fields)
+        and ref_scope == c.scope
+    ):
         group_keys = ([c.scope] if c.scope else []) + list(c.fields)
         sel = F.expr(c.selector) if c.selector else F.lit(True)
         ref_sel = F.expr(c.refer_selector) if c.refer_selector else F.lit(True)
@@ -168,14 +182,17 @@ def keyref_misses(df: DataFrame, c: S.Keyref,
     keys = (
         key_src.filter(F.expr(c.refer_selector)) if c.refer_selector else key_src
     )
-    key_cols = ([c.scope] if c.scope else []) + list(c.refer_fields)
+    # scope joins only when both domains have one; otherwise the broader
+    # side's absence of a scope means fields-only matching (refer_path)
+    join_scope = c.scope is not None and ref_scope is not None
+    key_cols = ([ref_scope] if join_scope else []) + list(c.refer_fields)
     keys = keys.select(
         *[F.col(k).alias(f"_k_{i}") for i, k in enumerate(key_cols)]
     ).dropDuplicates()
     if c.broadcast_keys:
         keys = F.broadcast(keys)
 
-    ref_cols = ([c.scope] if c.scope else []) + list(c.fields)
+    ref_cols = ([c.scope] if join_scope else []) + list(c.fields)
     cond = None
     for i, r in enumerate(ref_cols):
         e = F.col(r) == F.col(f"_k_{i}")

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 
 def _terms(text_col: str):
-    return F.split(F.lower(F.col(text_col)), " ")
+    """Lowercased whitespace tokens, empties removed — same tokenization as
+    :func:`sissaschool_xmlschema_spark.functions.text.whitespace_tokens`, so
+    BM25's ``dl`` equals ``text.token_count`` for every document."""
+    from ..functions.text import whitespace_tokens
+
+    return whitespace_tokens(F.lower(F.col(text_col)))
 
 
 def bm25_topk(

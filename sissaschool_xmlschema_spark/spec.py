@@ -315,6 +315,10 @@ class Key(Unique):
     row (missing field → error, identities.py:523-531)."""
 
 
+SAME_SCOPE = "<same>"
+"""Sentinel for :class:`Keyref.refer_scope`: key side scoped like the refs."""
+
+
 @dataclass(frozen=True)
 class Keyref:
     """xs:keyref — selected field tuples must exist in the referred key's value
@@ -331,6 +335,20 @@ class Keyref:
     # document-scoped keyref has O(rows) keys and broadcasting it is the
     # classic large-broadcast OOM at scale (and 3x slower even on one box)
     broadcast_keys: bool = False
+    # Scope column of the KEY side — the flat-table form of the reference's
+    # refer_path cross-domain resolution (identities.py:317-334):
+    #   SAME_SCOPE (default) — key scoped by the same column as the refs.
+    #   None                 — key defined at a BROADER (document) scope: refs
+    #                          join on fields only; the keyref's own scope
+    #                          still labels the violations.
+    #   another column name  — scope-mapping join: refs' ``scope`` column
+    #                          equi-joins the key side's ``refer_scope``
+    #                          column (e.g. a child table carrying its
+    #                          ancestor's id under a different name).
+    # A keyref with scope=None against a refer_scope'd key is the upward
+    # propagation case from XSD 1.0 par. 3.11.5: per-scope key tables merge
+    # at the ancestor, i.e. the join simply ignores the key-side scope.
+    refer_scope: Optional[str] = SAME_SCOPE
 
 
 # ---------------------------------------------------------------------------

@@ -192,7 +192,7 @@ def test_bm25_topk_matches_python(spark):
 
     docs = [
         (0, "spark shuffles data across the cluster"),
-        (1, "spark spark spark tuning guide"),
+        (1, "spark  spark\tspark\ntuning guide "),  # multi-space/tab/newline
         (2, "the cat sat on the mat"),
         (3, "data locality and shuffle avoidance in spark"),
     ]
@@ -201,9 +201,11 @@ def test_bm25_topk_matches_python(spark):
     got = [(r.doc_id, r.score) for r in bm25_topk(
         df, "doc_id", "text", query, k=3).collect()]
 
-    # independent python oracle
+    # independent python oracle; .split() = whitespace tokens, empties
+    # dropped — the same tokenization as text.whitespace_tokens, so BM25's
+    # dl matches text.token_count even on messy whitespace
     k1, b = 1.2, 0.75
-    toks = {i: t.lower().split(" ") for i, t in docs}
+    toks = {i: t.lower().split() for i, t in docs}
     N = len(docs)
     avgdl = sum(len(v) for v in toks.values()) / N
     def idf(term):
@@ -223,3 +225,22 @@ def test_bm25_topk_matches_python(spark):
     assert got == expected
     # doc 2 (no query terms) never appears
     assert 2 not in {i for i, _ in got}
+
+
+def test_bm25_dl_equals_token_count(spark):
+    """BM25's internal document length uses the same tokenizer as
+    text.token_count: split on any whitespace run, empties dropped."""
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.functions.text import token_count
+    from sissaschool_xmlschema_spark.operators.retrieval import _terms
+
+    df = spark.createDataFrame(
+        [(0, "a  b\tc\nd "), (1, " x "), (2, "one two  three")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        F.size(_terms("text")).alias("dl"),
+        token_count(F.col("text")).alias("tc"),
+    ).collect()
+    assert all(r.dl == r.tc for r in rows)
