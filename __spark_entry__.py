@@ -1125,6 +1125,39 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe.bpe_token_counts(_docs(spark, sf_dir), "doc_id", "text", merges)
 
 
+# Fixed, well-formed merge list (trained once on the sf0.001 corpus with
+# train_bpe and frozen as literals): compound symbols are always created
+# before any later merge uses them, so greedy lowest-rank-first encoding
+# (encode_word) equals applying each merge exhaustively in rank order —
+# which unrolls to a chain of string replaces that DuckDB can run verbatim.
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("w", "</w>"), ("o", "w</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("p", "a"), ("pa", "r"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"),
+]
+
+
+def q_bpe_tokens_fixed(spark, sf_dir):
+    """Per-doc token counts under a KNOWN merge list (_BPE_FIXED_MERGES) —
+    the production mapInPandas encoder (bpe.bpe_token_counts) fed literal
+    merges so the encoding is SQL-reproducible: the oracle wraps each char
+    as (c), appends (</w>), and unrolls the 16 merges as chained replaces;
+    tokens = count of '(' left.  Text is normalized to [a-z ] on both sides
+    so the wrapping parens cannot collide with symbol characters."""
+    from sissaschool_xmlschema_spark.functions import bpe
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("text"),
+        )
+    )
+    return bpe.bpe_token_counts(docs, "doc_id", "text", _BPE_FIXED_MERGES)
+
+
 def q_lm_quality(spark, sf_dir):
     """Unigram-LM quality score (KenLM-style filter, unigram so it stays
     exactly SQL-replicable): corpus-trained top-1000 vocab with add-0.5
@@ -1647,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_fast": q_sample_stratified_fast,
         "bpe_vocab": q_bpe_vocab,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_tokens_fixed": q_bpe_tokens_fixed,
         "pack_chunks": q_pack_chunks,
         "pack_bins": q_pack_bins,
         "lm_quality": q_lm_quality,
@@ -2956,6 +2990,34 @@ sc AS (
 SELECT doc_id, ROUND(SUM(contrib), 6) AS score
 FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+    # BPE with a frozen merge list: greedy lowest-rank-first == sequential
+    # exhaustive application in rank order (the merge list is well-formed:
+    # compounds are created before use), and one merge's exhaustive pass ==
+    # one left-to-right non-overlapping string replace over the (c)(c)…
+    # wrapped form — so the whole encoder unrolls to 16 nested replace()s.
+    _bpe_enc = "regexp_replace(w, '(.)', '(\\1)', 'g') || '(</w>)'"
+    for _a, _b in _BPE_FIXED_MERGES:
+        _bpe_enc = f"replace({_bpe_enc}, '({_a})({_b})', '({_a}{_b})')"
+    sql["bpe_tokens_fixed"] = f"""
+WITH wx AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+           x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+enc AS (SELECT doc_id, {_bpe_enc} AS s FROM wx),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(s) - len(replace(s, '(', ''))) AS BIGINT)
+           AS n_bpe_tokens
+  FROM enc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.n_words, CAST(0 AS BIGINT)) AS n_words,
+       COALESCE(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+WHERE d.text IS NOT NULL
 """
 
     # sliding-window chunking: starts = 0, 48, ... up to

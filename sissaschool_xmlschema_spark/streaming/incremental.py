@@ -224,8 +224,19 @@ def run_incremental(
     work_dir: str,
     schema: Optional[str] = None,
     max_files_per_trigger: Optional[int] = None,
+    processing_time: Optional[str] = None,
+    idle_timeout_s: float = 120.0,
 ) -> IncrementalResult:
     """Validate a growing file directory incrementally with availableNow.
+
+    ``processing_time`` switches the trigger to a continuous
+    ``processingTime`` cadence (the long-running-monitor deployment shape).
+    Because such a query never terminates on its own, the run is bounded by
+    a drain-then-stop loop: once at least one data batch has been processed
+    and the two most recent progress reports are empty, the query stops.
+    The end-state is identical to an availableNow run over the same input —
+    the foreachBatch body and the idempotent ``batch=<id>`` sinks don't
+    depend on the trigger (pinned by test_checkpoint_streaming).
 
     Per micro-batch: facet violations, per-constraint partial key counts
     (map-side shrunk), and per-keyref referencing-counts + key-tuple sets
@@ -306,13 +317,35 @@ def run_incremental(
             "overwrite"
         ).parquet(os.path.join(occstate_path, bdir))
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", ckpt
     )
-    q.awaitTermination()
+    if processing_time is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        import time
+
+        q = writer.trigger(processingTime=processing_time).start()
+        deadline = time.time() + idle_timeout_s
+        try:
+            while time.time() < deadline:
+                prog = q.recentProgress
+                if (
+                    any(p["numInputRows"] > 0 for p in prog)
+                    and len(prog) >= 2
+                    and all(p["numInputRows"] == 0 for p in prog[-2:])
+                ):
+                    break
+                time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"processingTime stream did not drain the available input "
+                    f"within {idle_timeout_s}s"
+                )
+        finally:
+            q.stop()
+        q.awaitTermination()
     return IncrementalResult(
         n_batches, violations_path, keystate_path, refstate_path,
         occstate_path,

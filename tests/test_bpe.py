@@ -73,3 +73,39 @@ def test_trained_tokenizer_compresses_corpus(spark):
         F.sum("n_bpe_tokens")
     ).collect()[0][0]
     assert out < baseline / 2
+
+
+def test_greedy_equals_sequential_for_trained_merges(spark):
+    """The bpe_tokens_fixed oracle relies on this: for a WELL-FORMED merge
+    list (produced by train_bpe, so compound symbols exist before any later
+    merge uses them), greedy lowest-rank-first encoding (encode_word) equals
+    applying each merge exhaustively in rank order — the form that unrolls
+    to chained string replaces in SQL."""
+
+    def sequential(word, merges):
+        sym = list(word) + [bpe.END]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    df = _docs(
+        spark,
+        [(i, "the quick brown foxes jumped over lazy rivers repeatedly "
+             "partition shuffle window aggregate lulu pasta paris inner")
+         for i in range(10)],
+    )
+    merges = bpe.train_bpe(df, "text", n_merges=60, min_freq=1)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    words = ("the quick brown foxes jumped over lazy rivers repeatedly "
+             "partition shuffle window aggregate lulu pasta paris inner "
+             "unseen zyzzyva transformers").split()
+    for w in words:
+        assert bpe.encode_word(w, ranks) == sequential(w, merges), w

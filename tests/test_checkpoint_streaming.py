@@ -427,3 +427,54 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         schema,
     )
     assert stream_dedup(batch).count() == 1
+
+
+def test_processing_time_trigger_matches_available_now(spark, tmp_path):
+    """A continuous processingTime trigger (the monitor deployment shape,
+    bounded here by run_incremental's drain-then-stop loop) reaches the
+    identical end-state as availableNow over the same rate-limited file
+    source: same violations, same merged cross-batch duplicate counters."""
+    rows1 = [("c1", 0, "user", "a", None, TS),
+             ("c1", 1, "assistant", "b", None, TS)]
+    rows2 = [("c1", 1, "user", "dup", None, TS),
+             ("c2", 0, "alien", "x", None, TS)]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    src = str(tmp_path / "srcpt")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(
+        src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(
+        src + "/f2.parquet")
+
+    u = S.Unique("turn-unique", fields=("turn_idx",), scope="conv_id")
+
+    def end_state(work):
+        res_v = res.violations(spark)
+        viol = sorted(
+            (r["conv_id"], r["turn_idx"], r["constraint_id"])
+            for r in res_v.collect()
+        )
+        dups = sorted(
+            (d["conv_id"], d["turn_idx"], d["_n"])
+            for d in res.duplicate_keys(spark, u).collect()
+        )
+        return viol, dups
+
+    res = run_incremental(
+        spark, src + "/*", small_spec(), str(tmp_path / "work_pt"),
+        schema=schema, max_files_per_trigger=1,
+        processing_time="250 milliseconds",
+    )
+    assert res.n_batches >= 2  # rate limit forced multiple micro-batches
+    state_pt = end_state(res)
+
+    res = run_incremental(
+        spark, src + "/*", small_spec(), str(tmp_path / "work_an"),
+        schema=schema, max_files_per_trigger=1,
+    )
+    state_an = end_state(res)
+    assert state_pt == state_an
+    # the merged counter found the cross-batch duplicate in both modes
+    assert state_pt[1] == [("c1", 1, 2)]
