@@ -223,6 +223,11 @@ def main() -> int:
                     help="run only the 1M-turn suite, print one JSON line")
     ap.add_argument("--scaling", action="store_true",
                     help="run the N vs 4N cores protocol, write BENCH/BASELINE.md")
+    ap.add_argument("--scaling-pinned", action="store_true",
+                    help="N vs 4N with taskset-pinned CPU sets (0-7 vs 0-31): "
+                         "separate OS processes on disjoint-capability CPU "
+                         "sets, the closest sandbox analogue to separate "
+                         "executors; writes BENCH/SCALING_PINNED.md")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--convs", type=int, default=BENCH_CONVS)
     ap.add_argument("--timed-runs", type=int, default=5)
@@ -230,6 +235,8 @@ def main() -> int:
 
     if args.scaling:
         return scaling_protocol(args.reps)
+    if args.scaling_pinned:
+        return scaling_pinned_protocol(args.reps)
 
     spark = _session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -422,6 +429,104 @@ local mode; see BASELINE.md for the full sandbox-protocol definition.
         "platform_ceiling": round(ceff, 3),
         "normalized": round(norm, 3),
         "turns_per_sec": {"local8": t8, "local32": t32},
+    }))
+    return 0
+
+
+def scaling_pinned_protocol(reps: int) -> int:
+    """N vs 4N as separate spark-submit-style processes on taskset-pinned
+    CPU sets (VERDICT r3 item 7: the closest sandbox analogue to separate
+    executors).
+
+    The thread-mode protocol (``--scaling``) varies only local[N] inside an
+    unpinned JVM: its 8-core side can still opportunistically use all 32
+    CPUs for JVM service threads (GC, JIT compiler threads, parquet
+    footer-reading pools), slightly flattering the 8-core denominator.
+    Pinning the whole process to CPUs 0-7 makes the N side a true
+    8-CPU machine — JVM service threads included — so the paired ratio is a
+    cleaner executor-count analogue.  Raw paired per-rep efficiency is the
+    figure (same aggregation as the thread-mode headline); the pure-CPU
+    platform control is pinned the same way so the substrate ceiling is
+    measured under identical affinity.
+    """
+    me = os.path.abspath(__file__)
+    cpusets = {8: "0-7", 32: "0-31"}
+    results: dict[int, list[float]] = {8: [], 32: []}
+    control: dict[int, list[float]] = {8: [], 32: []}
+    rows = viols = 0
+    for rep in range(reps):
+        for cores in (8, 32):
+            # pinned control: the burn pool inherits the taskset affinity
+            ctl = subprocess.run(
+                ["taskset", "-c", cpusets[cores], sys.executable, "-c",
+                 "import bench; print(bench.platform_cpu_control(%d))" % cores],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(me),
+            )
+            control[cores].append(float(ctl.stdout.strip().splitlines()[-1]))
+            out = subprocess.run(
+                ["taskset", "-c", cpusets[cores], sys.executable, me,
+                 "--suite-only", "--cores", str(cores),
+                 "--convs", str(SCALING_CONVS), "--timed-runs", "3"],
+                capture_output=True, text=True, check=True,
+            )
+            line = [
+                ln for ln in out.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            results[cores].append(r["value"])
+            rows, viols = r["suite_rows"], r["suite_violations"]
+            print(
+                f"pinned rep {rep} cpus {cpusets[cores]}: {r['value']} "
+                f"turns/s ({r['suite_sec']}s) "
+                f"control {control[cores][-1] / 1e6:.0f}M ops/s",
+                file=sys.stderr,
+            )
+    paired = [
+        (results[32][i] / results[8][i]) / 4.0 for i in range(len(results[8]))
+    ]
+    paired_med = sorted(paired)[len(paired) // 2]
+    paired_best = max(paired)
+    cpaired = [
+        (control[32][i] / control[8][i]) / 4.0 for i in range(len(control[8]))
+    ]
+    cmed = sorted(cpaired)[len(cpaired) // 2]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING_PINNED.md", "w") as f:
+        f.write(f"""# BENCH — pinned-process scaling series (N vs 4N CPU sets)
+
+Same job and aggregation as the thread-mode protocol in BENCH/BASELINE.md
+(full constraint suite, {rows:,} turns, {viols:,} violations, bucketed
+zero-exchange layout), but each side runs as a SEPARATE OS process pinned
+with `taskset` to a disjoint-capability CPU set — local[8] on CPUs 0-7,
+local[32] on CPUs 0-31 — so the 8-core side's JVM service threads (GC, JIT,
+I/O pools) cannot borrow the other 24 CPUs.  This is the sandbox's closest
+analogue to 1-executor-vs-4-executor cluster scaling.
+
+| CPU set | suite (turns/s, all reps) | pinned pure-CPU control (ops/s) |
+|---|---|---|
+| 0-7 (N)   | {[f'{v:,.0f}' for v in results[8]]} | {[f'{v / 1e6:,.0f}M' for v in control[8]]} |
+| 0-31 (4N) | {[f'{v:,.0f}' for v in results[32]]} | {[f'{v / 1e6:,.0f}M' for v in control[32]]} |
+
+- **Raw paired scaling efficiency = {paired_med:.2f} median /
+  {paired_best:.2f} best** over per-rep pairs
+  {[f'{p:.2f}' for p in paired]} (target >= 0.8).
+- Pinned platform ceiling (paired median of the pure-CPU control under the
+  same affinity): **{cmed:.2f}** — the substrate's own 8->32 vCPU limit on
+  this oversubscribed host; no process can exceed it.
+- Protocol notes: {reps} rep(s); per-rep pairs run back-to-back in the same
+  host-noise window; each side is best-of-3 timed runs after a JIT warmup
+  inside its own process (identical to the thread-mode protocol).
+""")
+    print(json.dumps({
+        "metric": "scaling efficiency pinned cpuset 0-7 -> 0-31",
+        "value": round(paired_med, 3),
+        "unit": "ratio",
+        "paired_per_rep": [round(p, 3) for p in paired],
+        "paired_best": round(paired_best, 3),
+        "platform_ceiling_pinned": round(cmed, 3),
+        "turns_per_sec": {"cpus0_7": max(results[8]),
+                          "cpus0_31": max(results[32])},
     }))
     return 0
 

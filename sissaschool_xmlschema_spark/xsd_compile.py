@@ -450,6 +450,67 @@ def _flatten_field(selector_rest: list, field_tokens: list) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _parse_schema_text(text: str, what: str) -> ET.Element:
+    root = ET.parse(io.StringIO(text)).getroot()
+    if root.tag != _xs("schema"):
+        raise XsdCompileError(
+            f"{what}: root element is {root.tag!r}, not xs:schema"
+        )
+    return root
+
+
+def _collect_schema_roots(
+    source: Union[str, os.PathLike], base_dir: Optional[str]
+) -> tuple:
+    """Parse ``source`` and transitively resolve ``xs:include`` (and
+    ``xs:import`` carrying a schemaLocation) against the including file's
+    directory — the filesystem subset of the reference's location-driven
+    loading (loaders.py:84-117, SchemaLoader.load_declared_schemas).
+
+    Returns ``(roots, notes)``: the including document first, then included
+    documents in discovery order (cycles — e.g. the vehicles example's
+    types.xsd↔cars.xsd — are cut by an absolute-path visited set); ``notes``
+    records includes that could not be resolved (string sources with no
+    ``base_dir``, missing files) — recorded loudly, never silently dropped.
+    """
+    notes: list = []
+    roots: list = []
+    visited: set = set()
+
+    def load(src, directory, what):
+        if isinstance(src, str) and src.lstrip().startswith("<"):
+            root, here = _parse_schema_text(src, what), directory
+        else:
+            path = os.path.abspath(os.fspath(src))
+            if path in visited:
+                return
+            visited.add(path)
+            with open(path, "r", encoding="utf-8") as f:
+                root = _parse_schema_text(f.read(), path)
+            here = os.path.dirname(path)
+        roots.append(root)
+        for tag in ("include", "import"):
+            for node in root.findall(_xs(tag)):
+                loc = node.get("schemaLocation")
+                if not loc:
+                    continue  # location-less import: nothing to fetch
+                if here is None:
+                    notes.append(
+                        f"xs:{tag} {loc!r}: string source has no base "
+                        "directory (pass base_dir=) — skipped"
+                    )
+                    continue
+                target = os.path.join(here, loc)
+                if not os.path.exists(target):
+                    notes.append(f"xs:{tag} {loc!r}: not found under "
+                                 f"{here!r} — skipped")
+                    continue
+                load(target, os.path.dirname(target), target)
+
+    load(source, base_dir, "source")
+    return roots, notes
+
+
 def compile_xsd(
     source: Union[str, os.PathLike],
     scope_col: str = "doc_id",
@@ -457,6 +518,7 @@ def compile_xsd(
     row_elements: Optional[Sequence[str]] = None,
     lexical: bool = True,
     emit_occurs: bool = True,
+    base_dir: Optional[str] = None,
 ) -> CompiledXsd:
     """Compile an XSD document to TableSpecs (one per row element).
 
@@ -466,25 +528,25 @@ def compile_xsd(
     child position).  ``row_elements`` overrides auto-detection (elements
     with ``maxOccurs > 1`` and complex content directly under a global
     element).  ``lexical=False`` compiles value-space checks only — for
-    tables whose columns are already decoded/typed.
+    tables whose columns are already decoded/typed.  ``xs:include`` /
+    located ``xs:import`` are followed relative to each including file
+    (``base_dir`` supplies the anchor for literal string sources).
     """
-    text = None
-    if isinstance(source, str) and source.lstrip().startswith("<"):
-        text = source
-    else:
-        with open(source, "r", encoding="utf-8") as f:
-            text = f.read()
-    root = ET.parse(io.StringIO(text)).getroot()
-    if root.tag != _xs("schema"):
-        raise XsdCompileError(f"root element is {root.tag!r}, not xs:schema")
+    roots, include_notes = _collect_schema_roots(source, base_dir)
+    root = roots[0]
 
     ctx = _Ctx(root=root, lexical=lexical)
-    for st in root.findall(_xs("simpleType")):
-        ctx.simple_types[st.get("name")] = st
-    for ct in root.findall(_xs("complexType")):
-        ctx.complex_types[ct.get("name")] = ct
-    for el in root.findall(_xs("element")):
-        ctx.elements[el.get("name")] = el
+    ctx.restrictions.extend(include_notes)
+    # first definition wins across the include graph (the including document
+    # is roots[0]), matching the reference's maps-level global registration
+    # (loaders.py:118-167: a name is registered once per namespace)
+    for r in roots:
+        for st in r.findall(_xs("simpleType")):
+            ctx.simple_types.setdefault(st.get("name"), st)
+        for ct in r.findall(_xs("complexType")):
+            ctx.complex_types.setdefault(ct.get("name"), ct)
+        for el in r.findall(_xs("element")):
+            ctx.elements.setdefault(el.get("name"), el)
 
     # --- row-element detection -------------------------------------------
     # a row element is a repeated complex child directly under a global

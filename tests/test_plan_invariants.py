@@ -25,6 +25,7 @@ PANDAS_KERNEL_OK = {
     "lang_id_model",
     "bpe_vocab",
     "bpe_tokens",
+    "bpe_tokens_fixed",  # same sanctioned mapInPandas encoder as bpe_tokens
     "pack_bins",
     "multimodal_features",
 }

@@ -279,3 +279,60 @@ def test_errors_are_loud():
 def test_builtin_lexical_spec_io_roundtrip(row_spec):
     back = spec_from_dict(spec_to_dict(row_spec))
     assert back == row_spec
+
+
+VEHICLES_DIR = "/root/reference/tests/test_cases/examples/vehicles"
+
+
+def test_include_chain_with_cycle():
+    """vehicles.xsd -> cars.xsd/bikes.xsd -> types.xsd -> cars.xsd (cycle):
+    the include graph resolves file-relative, cuts the cycle, and both row
+    elements compile with the shared vehicleType attributes
+    (loaders.py:84-117 location-driven loading, filesystem subset)."""
+    c = compile_xsd(f"{VEHICLES_DIR}/vehicles.xsd")
+    assert sorted(c.specs) == ["bike", "car"]
+    for name in ("car", "bike"):
+        assert [col.name for col in c.specs[name].columns] == ["make", "model"]
+    assert c.restrictions == ()
+
+
+def test_include_compiled_spec_validates(spark):
+    from sissaschool_xmlschema_spark.plans.runner import validate
+
+    sp = compile_xsd(f"{VEHICLES_DIR}/vehicles.xsd").spec("car")
+    df = spark.createDataFrame(
+        [(1, 0, "Porsche", "911"), (1, 1, None, None)],
+        "doc_id long, row_idx int, make string, model string",
+    )
+    # make/model are optional xs:string attributes — nothing to violate
+    assert validate(df, sp).violations.count() == 0
+
+
+def test_unresolvable_include_is_loud_not_silent(tmp_path):
+    p = tmp_path / "s.xsd"
+    p.write_text(wrap(
+        '<xs:include schemaLocation="gone.xsd"/>'
+        '<xs:element name="doc"><xs:complexType><xs:sequence>'
+        '<xs:element name="r" maxOccurs="unbounded">'
+        '<xs:complexType><xs:sequence>'
+        '<xs:element name="x" type="xs:string"/>'
+        '</xs:sequence></xs:complexType></xs:element>'
+        '</xs:sequence></xs:complexType></xs:element>'
+    ).replace("<?xml version=\"1.0\"?>", ""))
+    c = compile_xsd(str(p))
+    assert any("gone.xsd" in r and "not found" in r for r in c.restrictions)
+    assert sorted(c.specs) == ["r"]
+
+
+def test_string_source_include_needs_base_dir():
+    src = wrap('<xs:include schemaLocation="cars.xsd"/>'
+               '<xs:element name="vehicles"><xs:complexType><xs:sequence>'
+               '<xs:element ref="cars"/>'
+               '</xs:sequence></xs:complexType></xs:element>')
+    # without base_dir: the include is recorded and compile fails loudly
+    # (the ref'd global element never arrives)
+    with pytest.raises(XsdCompileError, match="unresolved element ref"):
+        compile_xsd(src)
+    # with base_dir anchoring the relative location, the include resolves
+    c = compile_xsd(src, base_dir=VEHICLES_DIR)
+    assert "car" in c.specs
