@@ -203,6 +203,34 @@ def q_keyref_ancestor(spark, sf_dir):
     return m.select("conv_id", "tool", F.col("_n").alias("n"))
 
 
+def q_json_parker(spark, sf_dir):
+    """Parker-convention JSON rendering of each conversation document
+    (converters/parker.py:22): element-keyed dict, repeated <turn> children
+    as an array ONLY for 2+ occurrences, null columns = absent keys, root
+    dropped (preserve_root=False).  One groupBy + row-local to_json/concat."""
+    from sissaschool_xmlschema_spark.sources.converters import parker_json
+
+    return parker_json(_t(spark, sf_dir))
+
+
+def q_json_badgerfish(spark, sf_dir):
+    """BadgerFish-convention JSON (converters/badgerfish.py:24): leaf text
+    under "$", root element preserved, same repeated-child collapse rule."""
+    from sissaschool_xmlschema_spark.sources.converters import badgerfish_json
+
+    return badgerfish_json(_t(spark, sf_dir))
+
+
+def q_json_jsonml(spark, sf_dir):
+    """JsonML-convention JSON (converters/jsonml.py): the element-tuple
+    array form with every leaf as element text (strings); heterogeneous
+    arrays assembled by concat over to_json-escaped leaves — one projection,
+    zero Python."""
+    from sissaschool_xmlschema_spark.sources.converters import jsonml_json
+
+    return jsonml_json(_t(spark, sf_dir))
+
+
 def _window_family(spark, sf_dir, constraint_id):
     sp = events_transcript_spec()
     v = model_window_violations(
@@ -1615,6 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_turn": q_unique_turn,
         "keyref_tool": q_keyref_tool,
         "keyref_ancestor": q_keyref_ancestor,
+        "json_parker": q_json_parker,
+        "json_badgerfish": q_json_badgerfish,
+        "json_jsonml": q_json_jsonml,
         "contiguity": q_contiguity,
         "ts_monotone": q_ts_monotone,
         "first_turn": q_first_turn,
@@ -1739,6 +1770,78 @@ GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
 WITH t AS ({_CTE})
 {_KEYREF_MISS_GROUPS}
 """
+
+    # JSON converter conventions (converters/parker.py, badgerfish.py,
+    # jsonml.py): per-turn JSON with null columns as ABSENT keys (missing
+    # child elements), document order = (turn_idx NULLS FIRST, rendered-JSON
+    # tiebreaker) — identical to the Spark-side struct sort — and the
+    # Parker/BadgerFish single-repeated-child collapse.  Leaf escaping rides
+    # to_json in both engines (Jackson and yyjson agree on the JSON
+    # mandatory-escape set).
+    _conv_cols = ("turn_idx", "role", "text", "tool")
+
+    def _conv_sql(frags: list, head: str, tail: str, collapse: bool = True,
+                  turn_open: str = "{", turn_close: str = "}") -> str:
+        frag_list = ", ".join(frags)
+        turns = (
+            "CASE WHEN len(turns) = 1 THEN turns[1] "
+            "ELSE '[' || array_to_string(turns, ',') || ']' END"
+            if collapse else "array_to_string(turns, ',')"
+        )
+        return f"""
+WITH t AS ({_CTE}),
+tj AS (
+  SELECT conv_id, turn_idx,
+         '{turn_open}' || array_to_string(
+           list_filter([{frag_list}], x -> x IS NOT NULL), ',')
+           || '{turn_close}' AS j
+  FROM t),
+g AS (
+  SELECT conv_id,
+         list(j ORDER BY turn_idx ASC NULLS FIRST, j ASC) AS turns
+  FROM tj GROUP BY conv_id)
+SELECT conv_id, {head} || {turns} || {tail} AS json FROM g
+"""
+
+    _parker_frags = [
+        f"CASE WHEN {c} IS NOT NULL THEN '\"{c}\":' || to_json({c}) END"
+        for c in _conv_cols
+    ]
+    sql["json_parker"] = _conv_sql(
+        _parker_frags,
+        head="'{\"conv_id\":' || to_json(conv_id) || ',\"turn\":'",
+        tail="'}'",
+    )
+
+    _bf_frags = [
+        f"CASE WHEN {c} IS NOT NULL THEN "
+        f"'\"{c}\":{{\"$\":' || to_json({c}) || '}}' END"
+        for c in _conv_cols
+    ]
+    sql["json_badgerfish"] = _conv_sql(
+        _bf_frags,
+        head=(
+            "'{\"conversation\":{\"conv_id\":{\"$\":' || to_json(conv_id) "
+            "|| '},\"turn\":'"
+        ),
+        tail="'}}'",
+    )
+
+    _jsonml_frags = [
+        f"CASE WHEN {c} IS NOT NULL THEN "
+        f"'[\"{c}\",' || to_json(CAST({c} AS VARCHAR)) || ']' END"
+        for c in _conv_cols
+    ]
+    sql["json_jsonml"] = _conv_sql(
+        _jsonml_frags,
+        head=(
+            "'[\"conversation\",[\"conv_id\",' || to_json(conv_id) || '],'"
+        ),
+        tail="']'",
+        collapse=False,
+        turn_open='["turn",',
+        turn_close="]",
+    )
 
     # key at document scope (refer_scope=None): the NOT EXISTS drops the
     # per-conversation correlation — any conv's assistant declaration counts
