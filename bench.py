@@ -201,6 +201,12 @@ def run_sf_queries(spark, sf_dir: str) -> dict[str, float]:
         "chunk_overlap",
         "sample_exact_k",
         "type_alternatives",
+        "xsd_frontdoor",
+        "builtin_lexicals",
+        "keyref_ancestor",
+        "bpe_tokens_fixed",
+        "json_parker",
+        "json_jsonml",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,288 @@
+"""Validate raw XML instance documents against a compiled XSD.
+
+The reference validates XML trees directly (``XMLSchema(...).validate(
+'doc.xml')``, schemas.py:1583; the testfiles factory asserts exact error
+counts per instance, testing/_factory.py:11-42).  The engine's analogue for
+the flat-table subset: read the instance with Spark's native XML source,
+flatten each row element into its table (nested single-occurrence children
+walk ``CompiledXsd.column_paths``), run the ordinary distributed validation
+per table plus the schema's cross-table keyrefs, and add the STRUCTURAL
+checks only a tree sees:
+
+* character data inside element-only content (``cvc-complex-type.2.3``;
+  the reference's children-validation error on text in a model group) —
+  Spark XML surfaces stray text as the ``_VALUE`` field;
+* undeclared attributes / elements (``cvc-complex-type.3.2.2``) — schema
+  INFERENCE lists every field present in the data, so anything outside the
+  compiled columns, their prefixes, and ``CompiledXsd.skipped_paths``
+  (schema-declared subtrees the flat subset doesn't model) is genuinely
+  undeclared;
+* repeated occurrences of a child the schema declares single
+  (``cvc-complex-type.2.4``) — inference yields an array where the compiled
+  path expects a scalar/struct.
+
+Inference is what makes unknown-field detection possible (a fixed schema
+cannot see fields it doesn't name), at the cost of one extra pass over the
+instance — this is the audit/discovery mode.  The reader is rooted at the
+row element's PARENT container (``CompiledXsd.parent_of``), so one
+DataFrame row = one container element; production corpora with enormous
+containers should land in parquet via ``rowTag=<row element>`` streaming
+(sources/xml_io.py) and validate tabularly.
+
+Reference parity pinned by tests/test_xml_instance.py: the vehicles and
+collection example instances reproduce the reference testfiles' exact
+counts (``vehicles-1_error.xml --errors=1`` … ``collection3.xml --errors
+1``, /root/reference/tests/test_cases/testfiles:11-26).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sissaschool_xmlschema_spark.operators.identity import keyref_violations
+from sissaschool_xmlschema_spark.plans.runner import validate
+from sissaschool_xmlschema_spark.xsd_compile import CompiledXsd, compile_xsd
+
+
+def sniff_prefix(path: str, local_root: str) -> str:
+    """Namespace prefix of ``local_root`` in the document head ('vh:' or '').
+
+    Driver-side peek at the first 8 KiB — instance prefixes are arbitrary
+    (the same schema validates ``vh:cars`` and unprefixed documents), and
+    Spark XML matches rowTag literally.
+    """
+    with open(path, "rb") as f:
+        head = f.read(8192).decode("utf-8", "replace")
+    m = re.search(rf"<(?:([A-Za-z_][\w.-]*):)?{re.escape(local_root)}[\s>/]",
+                  head)
+    if not m:
+        return ""
+    return f"{m.group(1)}:" if m.group(1) else ""
+
+
+def _local_of(field_name: str) -> tuple:
+    """(step, is_attr) for one inferred field name: attributes carry a
+    leading '_', namespace prefixes are instance-dependent noise."""
+    is_attr = field_name.startswith("_")
+    local = (field_name[1:] if is_attr else field_name).split(":", 1)[-1]
+    return local, is_attr
+
+
+def _viol(name, parent, cid, value, reason):
+    return [
+        F.lit(None).cast("long").alias("turn_idx"),
+        F.lit(f"{parent}/{name}").alias("path"),
+        F.lit(cid).alias("constraint_id"),
+        value.cast("string").alias("offending_value"),
+        F.lit(reason).alias("reason"),
+    ]
+
+
+class _TableReader:
+    """Walks one row element's inferred struct against the compiled paths."""
+
+    def __init__(self, name, spec, paths, skipped, parent, doc):
+        self.name, self.spec, self.parent, self.doc = name, spec, parent, doc
+        self.paths = {tuple(p): col for col, p in paths.items()}
+        self.prefixes = set()
+        for p in list(self.paths) + [tuple(s) for s in skipped]:
+            for i in range(1, len(p)):
+                self.prefixes.add(p[:i])
+        self.skipped = {tuple(s) for s in skipped}
+        self.extract: dict = {}
+        self.struct_viols: list = []  # (filter_col, select_cols)
+
+    def _flag(self, col, kind, local, reason_tail):
+        self.struct_viols.append((
+            col.isNotNull(),
+            _viol(self.name, self.parent, f"structure:{kind}", col,
+                  f"{kind.replace('-', ' ')} '{local}' on '{self.name}' "
+                  f"({reason_tail})"),
+        ))
+
+    def walk(self, stype: T.StructType, base: str, path: tuple) -> None:
+        for sf in stype.fields:
+            if sf.name.startswith("_xmlns") or sf.name.startswith("_xsi:"):
+                continue  # namespace/schema-location machinery, not data
+            col = F.col(f"{base}`{sf.name}`")
+            if sf.name == "_VALUE":
+                txt = F.trim(col.cast("string"))
+                self.struct_viols.append((
+                    txt.isNotNull() & (txt != ""),
+                    _viol(self.name, self.parent, "structure:char-data",
+                          txt,
+                          "character data not allowed in element-only "
+                          "content (cvc-complex-type.2.3)"),
+                ))
+                continue
+            local, is_attr = _local_of(sf.name)
+            step = ("@" + local) if is_attr else local
+            key = path + (step,)
+            if key in self.skipped:
+                continue  # schema-declared, outside the flat subset
+            if key in self.paths:
+                out = self.paths[key]
+                dt = sf.dataType
+                if isinstance(dt, T.ArrayType):
+                    # schema says single, instance repeats it
+                    self._flag(col, "repeated-element", local,
+                               "cvc-complex-type.2.4")
+                    col, dt = F.element_at(col, 1), dt.elementType
+                if isinstance(dt, T.StructType):
+                    # simple-content element carrying attributes: text is
+                    # the nested _VALUE; its attributes are undeclared
+                    names = dt.fieldNames()
+                    for inner in names:
+                        if inner == "_VALUE":
+                            continue
+                        il, _ = _local_of(inner)
+                        self._flag(col.getField(inner),
+                                   "undeclared-attribute", il,
+                                   "cvc-complex-type.3.2.2")
+                    col = (col.getField("_VALUE") if "_VALUE" in names
+                           else F.lit(None))
+                self.extract[out] = col.cast("string")
+            elif not is_attr and key in self.prefixes:
+                dt = sf.dataType
+                if isinstance(dt, T.ArrayType):
+                    self._flag(col, "repeated-element", local,
+                               "cvc-complex-type.2.4")
+                elif isinstance(dt, T.StructType):
+                    self.walk(dt, f"{base}`{sf.name}`.", key)
+            else:
+                self._flag(
+                    col,
+                    "undeclared-attribute" if is_attr
+                    else "undeclared-element",
+                    local, "cvc-complex-type.3.2.2",
+                )
+
+
+def _read_container(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        # keep stray character data visible instead of silently dropping it
+        .option("ignoreSurroundingSpaces", "true")
+        # structure-only inference: every leaf stays a string so the
+        # LEXICAL form survives (typed inference would read '2.0' into a
+        # double column and rewrite sibling '1' as '1.0', hiding the
+        # xs:int lexical violation the facet pass must see)
+        .option("inferSchema", "false")
+        .load(path)
+    )
+
+
+def validate_xml_instance(
+    spark: SparkSession,
+    xml_path: str,
+    xsd_source,
+    table: Optional[str] = None,
+    prefix: Optional[str] = None,
+    base_dir: Optional[str] = None,
+) -> DataFrame:
+    """All violations for one instance document in the canonical violation
+    schema (``conv_id`` = document label, ``path`` = element location).
+
+    ``table`` restricts to one row element; default validates every table
+    the schema defines plus the schema's cross-table keyrefs.  ``prefix``
+    overrides namespace-prefix sniffing.
+    """
+    compiled: CompiledXsd = (
+        xsd_source if isinstance(xsd_source, CompiledXsd)
+        else compile_xsd(xsd_source, base_dir=base_dir)
+    )
+    tables = [table] if table else sorted(compiled.specs)
+    doc = os.path.basename(str(xml_path))
+    parts: list = []
+    flats: dict = {}
+    for name in tables:
+        spec = compiled.specs[name]
+        parent = compiled.parent_of.get(name, name)
+        pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
+        container = _read_container(spark, xml_path, f"{pfx}{parent}")
+        fields = {f.name: f for f in container.schema.fields}
+
+        # container-level stray character data
+        if "_VALUE" in fields:
+            txt = F.trim(F.col("`_VALUE`").cast("string"))
+            parts.append(
+                container.filter(txt.isNotNull() & (txt != "")).select(
+                    F.lit(doc).alias("conv_id"),
+                    *_viol(name, parent, "structure:char-data", txt,
+                           "character data not allowed in element-only "
+                           f"content of '{parent}' (cvc-complex-type.2.3)"),
+                )
+            )
+
+        # locals may be qualified (elementFormDefault="qualified", vh:car)
+        # or not (collection's bare <object>): match by local name
+        row_field = next(
+            (fn for fn in fields
+             if fn != "_VALUE" and _local_of(fn)[0] == name), None
+        )
+        if row_field is None:
+            continue  # no row elements in this document; Occurs-style
+            # emptiness is a corpus-level concern, not an instance error
+
+        dtype = fields[row_field].dataType
+        elem = (
+            F.explode(F.col(f"`{row_field}`"))
+            if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
+        )
+        rows = container.select(elem.alias("_row"))
+        rdr = _TableReader(
+            name, spec,
+            compiled.column_paths.get(name, {}),
+            compiled.skipped_paths.get(name, ()),
+            parent, doc,
+        )
+        rdr.walk(rows.schema["_row"].dataType, "_row.", ())
+
+        for cond, sel in rdr.struct_viols:
+            parts.append(
+                rows.filter(cond).select(F.lit(doc).alias("conv_id"), *sel)
+            )
+
+        flat = rows.select(*[
+            (rdr.extract[c.name] if c.name in rdr.extract
+             else F.lit(None).cast("string")).alias(c.name)
+            for c in spec.columns
+        ])
+        flat = (
+            flat.withColumn(spec.scope_col, F.lit(doc))
+            # stable row id (partition-prefixed, NOT 0..n-1): enough for the
+            # Occurs counts compile_xsd emits; schemas with ordered model
+            # checks should land in parquet with a real order key
+            .withColumn(spec.order_col, F.monotonically_increasing_id())
+        )
+        flats[name] = flat
+        parts.append(validate(flat, spec).violations)
+
+    # cross-table keyrefs (identities.py:317-334 refer_path analogue)
+    for ext in compiled.external_keyrefs:
+        if ext.table in flats and ext.key_table in flats:
+            parts.append(
+                keyref_violations(
+                    flats[ext.table], ext.keyref, ext.table,
+                    keys_df=flats[ext.key_table],
+                )
+            )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def count_errors(
+    spark: SparkSession, xml_path: str, xsd_source, **kwargs
+) -> int:
+    """The ``--errors=N`` number for one instance (testfiles factory)."""
+    return validate_xml_instance(spark, xml_path, xsd_source, **kwargs).count()

@@ -83,6 +83,15 @@ class CompiledXsd:
     specs: dict
     external_keyrefs: tuple
     restrictions: tuple
+    # row element -> its enclosing global element (the per-document
+    # container, e.g. car -> cars): what an XML-instance reader uses as the
+    # structural rowTag (sources/xml_instance.py)
+    parent_of: dict = field(default_factory=dict)
+    # table -> {column -> element-tree path} ('@' marks the attribute step)
+    column_paths: dict = field(default_factory=dict)
+    # table -> set of schema-declared subtree paths OUTSIDE the compiled
+    # subset (mirrors `restrictions`, machine-usable for instance readers)
+    skipped_paths: dict = field(default_factory=dict)
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -104,6 +113,11 @@ class CompiledXsd:
 class _Column:
     name: str
     facets: list = field(default_factory=list)
+    # element-tree location of this column relative to the row element:
+    # element steps by local name, the final attribute step marked '@name'
+    # (e.g. author_dn <- ('author', '@dn')).  The instance reader
+    # (sources/xml_instance.py) uses this to extract nested values.
+    path: tuple = ()
 
 
 @dataclass
@@ -116,6 +130,10 @@ class _Ctx:
     elements: dict = field(default_factory=dict)
     restrictions: list = field(default_factory=list)
     lexical: bool = True
+    # table -> set of path tuples whose subtrees are OUTSIDE the compiled
+    # subset (repeated simple children, nested repeated groups): recorded so
+    # the instance reader knows they are schema-declared (not "undeclared")
+    skipped: dict = field(default_factory=dict)
 
 
 def _local(qname: Optional[str]) -> str:
@@ -328,9 +346,11 @@ def _max_occurs(el: ET.Element) -> Optional[int]:
 
 
 def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
-                        cols: list, uniques: list, scope_col: str) -> None:
+                        cols: list, uniques: list, scope_col: str,
+                        steps: tuple = ()) -> None:
     for attr in ct.findall(_xs("attribute")):
-        name = prefix + (attr.get("name") or _local(attr.get("ref")))
+        aname = attr.get("name") or _local(attr.get("ref"))
+        name = prefix + aname
         facets: list = []
         use = attr.get("use", "optional")
         if use == "required":
@@ -347,7 +367,7 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
             inline = attr.find(_xs("simpleType"))
             if inline is not None:
                 facets.extend(_compile_simple(inline, ctx, name))
-        cols.append(_Column(name, facets))
+        cols.append(_Column(name, facets, path=steps + ("@" + aname,)))
         if type_local == "ID":
             # xs:ID uniqueness: IDs are unique per document
             # (identities via ID map, attributes ID handling)
@@ -358,9 +378,9 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
 
 def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   uniques: list, scope_col: str, in_choice: bool,
-                  table: str) -> None:
+                  table: str, steps: tuple = ()) -> None:
     """Flatten one complexType's attributes + content into columns."""
-    _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col)
+    _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps)
     for group_tag in ("sequence", "all", "choice"):
         for group in ct.findall(_xs(group_tag)):
             child_in_choice = in_choice or group_tag == "choice"
@@ -376,13 +396,18 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                             f"{table}: repeated simple child {prefix}{name} "
                             "has no flat column (skipped)"
                         )
+                        ctx.skipped.setdefault(table, set()).add(
+                            steps + (name,)
+                        )
                         continue
                     facets = list(payload)
                     if min_occ >= 1 and not child_in_choice:
                         facets.insert(0, S.Required())
                     if decl.get("fixed") is not None:
                         facets.append(S.FixedValue(decl.get("fixed")))
-                    cols.append(_Column(prefix + name, facets))
+                    cols.append(
+                        _Column(prefix + name, facets, path=steps + (name,))
+                    )
                 else:
                     if max_occ is None or max_occ > 1:
                         ctx.restrictions.append(
@@ -390,9 +415,13 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                             f"{prefix}{name} below a row element (skipped; "
                             "model it as its own table)"
                         )
+                        ctx.skipped.setdefault(table, set()).add(
+                            steps + (name,)
+                        )
                         continue
                     _flatten_type(payload, ctx, prefix + name + "_", cols,
-                                  uniques, scope_col, child_in_choice, table)
+                                  uniques, scope_col, child_in_choice, table,
+                                  steps + (name,))
             for sub in group.findall(_xs("sequence")) + group.findall(
                 _xs("choice")
             ):
@@ -404,7 +433,8 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 fake = ET.Element(_xs("complexType"))
                 fake.append(sub)
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
-                              in_choice or sub.tag == _xs("choice"), table)
+                              in_choice or sub.tag == _xs("choice"), table,
+                              steps)
 
 
 # ---------------------------------------------------------------------------
@@ -706,6 +736,16 @@ def compile_xsd(
         specs=specs,
         external_keyrefs=tuple(external),
         restrictions=tuple(ctx.restrictions),
+        parent_of={
+            name: parent.get("name")
+            for name, (_el, _ct, parent) in detected.items()
+        },
+        column_paths={
+            name: {c.name: c.path for c in tables[name]} for name in tables
+        },
+        skipped_paths={
+            name: frozenset(ctx.skipped.get(name, ())) for name in tables
+        },
     )
 
 

@@ -1,0 +1,103 @@
+"""XML-instance validation against reference example schemas/instances —
+exact --errors=N parity with the reference testfiles
+(/root/reference/tests/test_cases/testfiles:11-26; factory
+xmlschema/testing/_factory.py:11-42)."""
+
+import pytest
+
+from sissaschool_xmlschema_spark.sources.xml_instance import (
+    count_errors,
+    sniff_prefix,
+    validate_xml_instance,
+)
+from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+VB = "/root/reference/tests/test_cases/examples/vehicles"
+CB = "/root/reference/tests/test_cases/examples/collection"
+
+CASES = [
+    # (instance, schema, expected errors) — straight from testfiles
+    (f"{VB}/vehicles.xml", f"{VB}/vehicles.xsd", 0),
+    (f"{VB}/vehicles-1_error.xml", f"{VB}/vehicles.xsd", 1),
+    (f"{VB}/vehicles-2_errors.xml", f"{VB}/vehicles.xsd", 2),
+    (f"{VB}/vehicles-3_errors.xml", f"{VB}/vehicles.xsd", 3),
+    (f"{CB}/collection.xml", f"{CB}/collection.xsd", 0),
+    (f"{CB}/collection-1_error.xml", f"{CB}/collection.xsd", 1),
+    (f"{CB}/collection2.xml", f"{CB}/collection2.xsd", 1),
+    (f"{CB}/collection3.xml", f"{CB}/collection3.xsd", 1),
+]
+
+
+@pytest.mark.parametrize(
+    "xml,xsd,expected", CASES,
+    ids=[c[0].rsplit("/", 1)[-1] for c in CASES],
+)
+def test_reference_instance_error_counts(spark, xml, xsd, expected):
+    assert count_errors(spark, xml, xsd) == expected
+
+
+def test_structural_kinds(spark):
+    """vehicles-3: one char-data block (cars), one undeclared attribute
+    (color on car), one char-data block (bikes)."""
+    v = validate_xml_instance(
+        spark, f"{VB}/vehicles-3_errors.xml", f"{VB}/vehicles.xsd"
+    )
+    kinds = sorted(r["constraint_id"] for r in v.collect())
+    assert kinds == [
+        "structure:char-data",
+        "structure:char-data",
+        "structure:undeclared-attribute",
+    ]
+
+
+def test_lexical_form_survives_inference(spark):
+    """collection-1_error: position '2.0' violates xs:int; the sibling '1'
+    must NOT be rewritten to '1.0' by typed inference (inferSchema=false)."""
+    v = validate_xml_instance(
+        spark, f"{CB}/collection-1_error.xml", f"{CB}/collection.xsd"
+    )
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["offending_value"] == "2.0"
+    assert "BuiltinLexical" in rows[0]["constraint_id"]
+
+
+def test_duplicate_key_via_nested_attribute(spark):
+    """collection2: key object/author/@dn duplicated ('JM' twice) — the
+    nested attribute is extracted through column_paths (author_dn)."""
+    v = validate_xml_instance(
+        spark, f"{CB}/collection2.xml", f"{CB}/collection2.xsd"
+    )
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "key:author_key_constraint"
+    assert "JM" in rows[0]["offending_value"]
+
+
+def test_cross_table_keyref(spark):
+    """collection3: object.author ('PARQ') must reference author/@dn keys
+    defined on a DIFFERENT row element — executed as the cross-table
+    broadcast/hash keyref (ExternalKeyref)."""
+    v = validate_xml_instance(
+        spark, f"{CB}/collection3.xml", f"{CB}/collection3.xsd"
+    )
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "keyref:author_dn_ref"
+    assert "PARQ" in rows[0]["offending_value"]
+
+
+def test_single_element_key_restriction_is_loud():
+    """collection3bis puts the key ON the author element (selector '.'):
+    the reference resolves it with last-sibling-override propagation — the
+    engine records the construct as a restriction instead of silently
+    passing the document."""
+    c = compile_xsd(f"{CB}/collection3bis.xsd")
+    assert any(
+        "author_dn" in r and "skipped" in r for r in c.restrictions
+    )
+
+
+def test_sniff_prefix():
+    assert sniff_prefix(f"{VB}/vehicles.xml", "vehicles") == "vh:"
+    assert sniff_prefix(f"{CB}/collection2.xml", "collection") == "col:"
