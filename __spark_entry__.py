@@ -221,6 +221,14 @@ def q_json_badgerfish(spark, sf_dir):
     return badgerfish_json(_t(spark, sf_dir))
 
 
+def q_json_gdata(spark, sf_dir):
+    """GData-protocol JSON (converters/gdata.py:24): BadgerFish structure
+    with text under "$t"."""
+    from sissaschool_xmlschema_spark.sources.converters import gdata_json
+
+    return gdata_json(_t(spark, sf_dir))
+
+
 def q_json_jsonml(spark, sf_dir):
     """JsonML-convention JSON (converters/jsonml.py): the element-tuple
     array form with every leaf as element text (strings); heterogeneous
@@ -1645,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyref_ancestor": q_keyref_ancestor,
         "json_parker": q_json_parker,
         "json_badgerfish": q_json_badgerfish,
+        "json_gdata": q_json_gdata,
         "json_jsonml": q_json_jsonml,
         "contiguity": q_contiguity,
         "ts_monotone": q_ts_monotone,
@@ -1822,6 +1831,20 @@ SELECT conv_id, {head} || {turns} || {tail} AS json FROM g
         _bf_frags,
         head=(
             "'{\"conversation\":{\"conv_id\":{\"$\":' || to_json(conv_id) "
+            "|| '},\"turn\":'"
+        ),
+        tail="'}}'",
+    )
+
+    _gd_frags = [
+        f"CASE WHEN {c} IS NOT NULL THEN "
+        f"'\"{c}\":{{\"$t\":' || to_json({c}) || '}}' END"
+        for c in _conv_cols
+    ]
+    sql["json_gdata"] = _conv_sql(
+        _gd_frags,
+        head=(
+            "'{\"conversation\":{\"conv_id\":{\"$t\":' || to_json(conv_id) "
             "|| '},\"turn\":'"
         ),
         tail="'}}'",

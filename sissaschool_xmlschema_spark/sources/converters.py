@@ -99,6 +99,34 @@ def parker_json(
     return agg.select(F.col(conv_col), body.alias(out_col))
 
 
+def _text_key_json(
+    df: DataFrame, conv_col: str, order_col: str,
+    turn_cols: Sequence[str], out_col: str, text_key: str,
+) -> DataFrame:
+    """Shared renderer for the text-key conventions (BadgerFish ``$``,
+    GData ``$t``): every leaf's text content nests under ``text_key``, the
+    root element is preserved, repeated children collapse like Parker."""
+    fields = [
+        F.when(
+            F.col(c).isNotNull(), F.struct(F.col(c).alias(text_key))
+        ).alias(c)
+        for c in turn_cols
+    ]
+    turn_json = F.to_json(F.struct(*fields))
+    agg = _ordered_turn_json(df, conv_col, order_col, turn_json)
+    return agg.select(
+        F.col(conv_col),
+        F.concat(
+            F.lit('{"conversation":{"' + conv_col + '":{"'
+                  + text_key + '":'),
+            _leaf(F.col(conv_col)),
+            F.lit('},"turn":'),
+            _collapse_single(F.col("turns")),
+            F.lit("}}"),
+        ).alias(out_col),
+    )
+
+
 def badgerfish_json(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -114,24 +142,42 @@ def badgerfish_json(
     column is an absent element, so its key is absent (the ``when`` guard —
     ``to_json`` would otherwise render ``{}``).
     """
-    fields = [
-        F.when(
-            F.col(c).isNotNull(), F.struct(F.col(c).alias("$"))
-        ).alias(c)
-        for c in turn_cols
-    ]
-    turn_json = F.to_json(F.struct(*fields))
-    agg = _ordered_turn_json(df, conv_col, order_col, turn_json)
-    return agg.select(
-        F.col(conv_col),
-        F.concat(
-            F.lit('{"conversation":{"' + conv_col + '":{"$":'),
-            _leaf(F.col(conv_col)),
-            F.lit('},"turn":'),
-            _collapse_single(F.col("turns")),
-            F.lit("}}"),
-        ).alias(out_col),
-    )
+    return _text_key_json(df, conv_col, order_col, turn_cols, out_col, "$")
+
+
+def gdata_json(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    turn_cols: Sequence[str] = DEFAULT_TURN_COLS,
+    out_col: str = "json",
+) -> DataFrame:
+    """GData-protocol-convention JSON (converters/gdata.py:24): BadgerFish's
+    structure with text under ``"$t"`` (gdata.py:43 ``text_key='$t'``).
+    Namespace-prefix ``$``-mangling (gdata.py:51-56) does not arise in the
+    single-namespace flat document."""
+    return _text_key_json(df, conv_col, order_col, turn_cols, out_col, "$t")
+
+
+def abdera_json(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    turn_cols: Sequence[str] = DEFAULT_TURN_COLS,
+    out_col: str = "json",
+) -> DataFrame:
+    """Abdera-convention JSON (converters/abdera.py:24).
+
+    For ATTRIBUTE-LESS element-children documents — which is exactly the
+    engine's conversation shape — Abdera's element_decode degenerates to
+    Parker's: no ``attributes``/``children`` wrapper is emitted when
+    ``data.attributes`` is empty (abdera.py:78-88 falls through to bare
+    ``children``), simple children decode to their text, and repeated
+    children collapse single→scalar / 2+→array the same way
+    (abdera.py:64-73).  Rendering Parker here is therefore exact, not an
+    approximation."""
+    return parker_json(df, conv_col, order_col, turn_cols,
+                       preserve_root=False, out_col=out_col)
 
 
 def jsonml_json(

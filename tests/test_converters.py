@@ -101,3 +101,25 @@ def test_escaping_is_valid_json(spark):
     p = json.loads(_by_conv(parker_json(df))["c1"])
     assert p["turn"][0]["text"] == 'a\\b"c\td\x01eé'
     assert p["turn"][1]["text"] == ""
+
+
+def test_gdata_convention(spark):
+    from sissaschool_xmlschema_spark.sources.converters import gdata_json
+
+    got = _by_conv(gdata_json(_df(spark)))
+    assert json.loads(got["c2"]) == {
+        "conversation": {
+            "conv_id": {"$t": "c2"},
+            "turn": {"turn_idx": {"$t": 0}, "role": {"$t": "user"},
+                     "text": {"$t": "solo"}},
+        }
+    }
+
+
+def test_abdera_degenerates_to_parker(spark):
+    """Attribute-less element-children documents render identically under
+    Abdera and Parker (abdera.py:78-88 emits no attributes/children wrapper
+    when data.attributes is empty)."""
+    from sissaschool_xmlschema_spark.sources.converters import abdera_json
+
+    assert _by_conv(abdera_json(_df(spark))) == _by_conv(parker_json(_df(spark)))
