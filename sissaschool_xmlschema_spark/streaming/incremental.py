@@ -102,7 +102,14 @@ class IncrementalResult:
         counts against the accumulated key-tuple set.  Returns
         ``(scope?, *fields, _n)`` like the batch ``keyref_misses`` operator;
         a reference whose key arrived in ANY batch resolves, one that never
-        resolved is a miss with its total multiplicity."""
+        resolved is a miss with its total multiplicity.
+
+        Honors ``Keyref.refer_scope`` exactly like the batch operator: the
+        scope joins only when both domains have one (refer_path cross-domain
+        resolution, identities.py:317-334)."""
+        same_scope = c.refer_scope == S.SAME_SCOPE
+        ref_scope = c.scope if same_scope else c.refer_scope
+        join_scope = c.scope is not None and ref_scope is not None
         group_keys = ([c.scope] if c.scope else []) + list(c.fields)
         refs_path = os.path.join(self.refstate_path, c.name, "refs")
         keys_path = os.path.join(self.refstate_path, c.name, "keys")
@@ -116,7 +123,9 @@ class IncrementalResult:
             .agg(F.sum("_n").alias("_n"))
         )
         if os.path.exists(keys_path):
-            key_cols = ([c.scope] if c.scope else []) + list(c.refer_fields)
+            key_cols = ([ref_scope] if join_scope else []) + list(
+                c.refer_fields
+            )
             keys = (
                 spark.read.parquet(keys_path)
                 .select(
@@ -127,8 +136,9 @@ class IncrementalResult:
                 )
                 .dropDuplicates()
             )
+            join_keys = ([c.scope] if join_scope else []) + list(c.fields)
             cond = None
-            for i, r in enumerate(group_keys):
+            for i, r in enumerate(join_keys):
                 e = F.col(r) == F.col(f"_k_{i}")
                 cond = e if cond is None else cond & e
             refs = refs.join(keys, cond, "left_anti")
@@ -298,11 +308,15 @@ def run_incremental(
                 os.path.join(refstate_path, c.name, "refs", bdir)
             )
             # key side: the distinct key-tuple set this batch contributes
+            # (scoped by refer_scope when it differs — cross-domain keyrefs)
             ks = (
                 batch.filter(F.expr(c.refer_selector))
                 if c.refer_selector else batch
             )
-            kcols = ([c.scope] if c.scope else []) + list(c.refer_fields)
+            same = c.refer_scope == S.SAME_SCOPE
+            kscope = c.scope if same else c.refer_scope
+            join_scope = c.scope is not None and kscope is not None
+            kcols = ([kscope] if join_scope else []) + list(c.refer_fields)
             ks.select(*kcols).dropDuplicates().write.mode(
                 "overwrite"
             ).parquet(os.path.join(refstate_path, c.name, "keys", bdir))

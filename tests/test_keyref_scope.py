@@ -128,3 +128,44 @@ def test_document_wide_key_multiplicity(spark):
         for r in keyref_misses(df, c).collect()
     }
     assert got == {("a", "ghost"): 2, ("b", "ghost"): 1}
+
+
+def test_streaming_epilogue_honors_refer_scope(spark, tmp_path):
+    """Incremental run with a document-wide key (refer_scope=None): a tool
+    reference in one conversation resolves against a declaration made in a
+    DIFFERENT conversation arriving in a later batch."""
+    from sissaschool_xmlschema_spark.streaming.incremental import (
+        run_incremental,
+    )
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    import datetime as dt
+    TS = dt.datetime(2024, 1, 1)
+    rows1 = [("a", 0, "tool", "x", "web", TS),
+             ("a", 1, "tool", "y", "ghost", TS)]
+    rows2 = [("b", 0, "assistant", "z", "web", TS)]  # declares web, conv b
+    src = str(tmp_path / "krsrc")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(
+        src + "/f1.parquet")
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(
+        src + "/f2.parquet")
+
+    c = S.Keyref(
+        "tool-ref-doc", fields=("tool",), refer_fields=("tool",),
+        scope="conv_id", refer_scope=None,
+        selector="role = 'tool'",
+        refer_selector="role = 'assistant' AND tool IS NOT NULL",
+    )
+    sp = S.TableSpec(name="transcripts", identities=(c,))
+    res = run_incremental(
+        spark, src + "/*", sp, str(tmp_path / "krwork"),
+        schema=schema, max_files_per_trigger=1,
+    )
+    assert res.n_batches == 2
+    got = {
+        (r["conv_id"], r["tool"]): r["_n"]
+        for r in res.keyref_misses(spark, c).collect()
+    }
+    # 'web' resolved cross-conversation (document-wide key); 'ghost' missed
+    assert got == {("a", "ghost"): 1}
