@@ -179,6 +179,101 @@ def _read_container(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
     )
 
 
+def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
+    """One table's (flat DataFrame | None, [structural violation parts])."""
+    spec = compiled.specs[name]
+    parent = compiled.parent_of.get(name, name)
+    pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
+    container = _read_container(spark, xml_path, f"{pfx}{parent}")
+    fields = {f.name: f for f in container.schema.fields}
+    parts: list = []
+
+    # container-level stray character data
+    if "_VALUE" in fields:
+        txt = F.trim(F.col("`_VALUE`").cast("string"))
+        parts.append(
+            container.filter(txt.isNotNull() & (txt != "")).select(
+                F.lit(doc).alias("conv_id"),
+                *_viol(name, parent, "structure:char-data", txt,
+                       "character data not allowed in element-only "
+                       f"content of '{parent}' (cvc-complex-type.2.3)"),
+            )
+        )
+
+    # locals may be qualified (elementFormDefault="qualified", vh:car)
+    # or not (collection's bare <object>): match by local name
+    row_field = next(
+        (fn for fn in fields
+         if fn != "_VALUE" and _local_of(fn)[0] == name), None
+    )
+    if row_field is None:
+        # no row elements in this document; Occurs-style emptiness is a
+        # corpus-level concern, not an instance error
+        return None, parts
+
+    dtype = fields[row_field].dataType
+    elem = (
+        F.explode(F.col(f"`{row_field}`"))
+        if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
+    )
+    rows = container.select(elem.alias("_row"))
+    rdr = _TableReader(
+        name, spec,
+        compiled.column_paths.get(name, {}),
+        compiled.skipped_paths.get(name, ()),
+        parent, doc,
+    )
+    rdr.walk(rows.schema["_row"].dataType, "_row.", ())
+
+    for cond, sel in rdr.struct_viols:
+        parts.append(
+            rows.filter(cond).select(F.lit(doc).alias("conv_id"), *sel)
+        )
+
+    flat = rows.select(*[
+        (rdr.extract[c.name] if c.name in rdr.extract
+         else F.lit(None).cast("string")).alias(c.name)
+        for c in spec.columns
+    ])
+    flat = (
+        flat.withColumn(spec.scope_col, F.lit(doc))
+        # stable row id (partition-prefixed, NOT 0..n-1): enough for the
+        # Occurs counts compile_xsd emits; schemas with ordered model
+        # checks should land in parquet with a real order key
+        .withColumn(spec.order_col, F.monotonically_increasing_id())
+    )
+    return flat, parts
+
+
+def xml_instance_tables(
+    spark: SparkSession,
+    xml_path: str,
+    xsd_source,
+    prefix: Optional[str] = None,
+    base_dir: Optional[str] = None,
+) -> dict:
+    """Decode an instance to its flat tables: ``{row element: DataFrame}``.
+
+    The engine's ``schema.decode`` / ``to_dict`` analogue (documents.py:
+    230-376): same reader and path-walk as :func:`validate_xml_instance`,
+    returning the flattened string-typed tables (run ``plans/decode.decode``
+    on them for value-space typing) instead of violations.
+    """
+    compiled: CompiledXsd = (
+        xsd_source if isinstance(xsd_source, CompiledXsd)
+        else compile_xsd(xsd_source, base_dir=base_dir)
+    )
+    doc = os.path.basename(str(xml_path))
+    out: dict = {}
+    for name in sorted(compiled.specs):
+        flat, _parts = _flatten_one(
+            spark, xml_path, compiled, name, prefix, doc
+        )
+        if flat is not None:
+            out[name] = flat
+    return out
+
+
 def validate_xml_instance(
     spark: SparkSession,
     xml_path: str,
@@ -203,67 +298,14 @@ def validate_xml_instance(
     parts: list = []
     flats: dict = {}
     for name in tables:
-        spec = compiled.specs[name]
-        parent = compiled.parent_of.get(name, name)
-        pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
-        container = _read_container(spark, xml_path, f"{pfx}{parent}")
-        fields = {f.name: f for f in container.schema.fields}
-
-        # container-level stray character data
-        if "_VALUE" in fields:
-            txt = F.trim(F.col("`_VALUE`").cast("string"))
-            parts.append(
-                container.filter(txt.isNotNull() & (txt != "")).select(
-                    F.lit(doc).alias("conv_id"),
-                    *_viol(name, parent, "structure:char-data", txt,
-                           "character data not allowed in element-only "
-                           f"content of '{parent}' (cvc-complex-type.2.3)"),
-                )
-            )
-
-        # locals may be qualified (elementFormDefault="qualified", vh:car)
-        # or not (collection's bare <object>): match by local name
-        row_field = next(
-            (fn for fn in fields
-             if fn != "_VALUE" and _local_of(fn)[0] == name), None
+        flat, table_parts = _flatten_one(
+            spark, xml_path, compiled, name, prefix, doc
         )
-        if row_field is None:
-            continue  # no row elements in this document; Occurs-style
-            # emptiness is a corpus-level concern, not an instance error
-
-        dtype = fields[row_field].dataType
-        elem = (
-            F.explode(F.col(f"`{row_field}`"))
-            if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
-        )
-        rows = container.select(elem.alias("_row"))
-        rdr = _TableReader(
-            name, spec,
-            compiled.column_paths.get(name, {}),
-            compiled.skipped_paths.get(name, ()),
-            parent, doc,
-        )
-        rdr.walk(rows.schema["_row"].dataType, "_row.", ())
-
-        for cond, sel in rdr.struct_viols:
-            parts.append(
-                rows.filter(cond).select(F.lit(doc).alias("conv_id"), *sel)
-            )
-
-        flat = rows.select(*[
-            (rdr.extract[c.name] if c.name in rdr.extract
-             else F.lit(None).cast("string")).alias(c.name)
-            for c in spec.columns
-        ])
-        flat = (
-            flat.withColumn(spec.scope_col, F.lit(doc))
-            # stable row id (partition-prefixed, NOT 0..n-1): enough for the
-            # Occurs counts compile_xsd emits; schemas with ordered model
-            # checks should land in parquet with a real order key
-            .withColumn(spec.order_col, F.monotonically_increasing_id())
-        )
+        parts.extend(table_parts)
+        if flat is None:
+            continue
         flats[name] = flat
-        parts.append(validate(flat, spec).violations)
+        parts.append(validate(flat, compiled.specs[name]).violations)
 
     # cross-table keyrefs (identities.py:317-334 refer_path analogue)
     for ext in compiled.external_keyrefs:

@@ -101,3 +101,28 @@ def test_single_element_key_restriction_is_loud():
 def test_sniff_prefix():
     assert sniff_prefix(f"{VB}/vehicles.xml", "vehicles") == "vh:"
     assert sniff_prefix(f"{CB}/collection2.xml", "collection") == "col:"
+
+
+def test_xml_instance_tables_decode(spark):
+    """xml_instance_tables = the decode/to_dict analogue: flat string-typed
+    tables per row element with nested values extracted."""
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        xml_instance_tables,
+    )
+
+    tabs = xml_instance_tables(
+        spark, f"{CB}/collection.xml", f"{CB}/collection.xsd"
+    )
+    assert list(tabs) == ["object"]
+    rows = {r["id"]: r for r in tabs["object"].collect()}
+    assert rows["b0836217462"]["author_name"] == "Pierre-Auguste Renoir"
+    assert rows["b0836217462"]["position"] == "1"  # lexical form intact
+    assert rows["b0836217463"]["estimation"] is None  # absent element
+
+    vt = xml_instance_tables(
+        spark, f"{VB}/vehicles.xml", f"{VB}/vehicles.xsd"
+    )
+    assert sorted(vt) == ["bike", "car"]
+    assert vt["car"].count() == 2
+    assert {r["make"] for r in vt["bike"].collect()} == {
+        "Harley-Davidson", "Yamaha"}
