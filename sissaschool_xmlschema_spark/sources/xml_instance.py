@@ -217,6 +217,42 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
     )
     rows = container.select(elem.alias("_row"))
+
+    if name in getattr(compiled, "simple_rows", frozenset()):
+        # repeated SIMPLE child (menù shape): the row IS the element text;
+        # an element carrying attributes infers as a struct whose text is
+        # _VALUE and whose attributes are undeclared by construction
+        val = F.col("_row")
+        rtype = rows.schema["_row"].dataType
+        if isinstance(rtype, T.StructType):
+            for sf in rtype.fields:
+                if sf.name == "_VALUE" or sf.name.startswith("_xmlns"):
+                    continue
+                local, _ = _local_of(sf.name)
+                parts.append(
+                    rows.filter(
+                        F.col(f"_row.`{sf.name}`").isNotNull()
+                    ).select(
+                        F.lit(doc).alias("conv_id"),
+                        *_viol(name, parent,
+                               "structure:undeclared-attribute",
+                               F.col(f"_row.`{sf.name}`"),
+                               f"undeclared attribute '{local}' on "
+                               f"'{name}' (cvc-complex-type.3.2.2)"),
+                    )
+                )
+            val = (
+                F.col("_row.`_VALUE`")
+                if "_VALUE" in rtype.fieldNames() else F.lit(None)
+            )
+        spec = compiled.specs[name]
+        flat = (
+            rows.select(val.cast("string").alias("value"))
+            .withColumn(spec.scope_col, F.lit(doc))
+            .withColumn(spec.order_col, F.monotonically_increasing_id())
+        )
+        return flat, parts
+
     rdr = _TableReader(
         name, spec,
         compiled.column_paths.get(name, {}),

@@ -92,6 +92,10 @@ class CompiledXsd:
     # table -> set of schema-declared subtree paths OUTSIDE the compiled
     # subset (mirrors `restrictions`, machine-usable for instance readers)
     skipped_paths: dict = field(default_factory=dict)
+    # row elements that are repeated SIMPLE children of a global element
+    # (the menù example's shape): one row per occurrence, single column
+    # 'value' holding the element text
+    simple_rows: frozenset = frozenset()
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -583,6 +587,9 @@ def compile_xsd(
     # element's complexType (the collection/object shape); its parent is the
     # per-document singleton whose identity constraints scope to scope_col
     detected: dict = {}  # name -> (decl element, ctype, parent global element)
+    # repeated SIMPLE children of a global element (menù example shape):
+    # name -> (decl element, facet tuple, parent global element)
+    detected_simple: dict = {}
     for gname, gel in ctx.elements.items():
         _, gpayload = _element_type(gel, ctx)
         if not isinstance(gpayload, ET.Element):
@@ -596,20 +603,29 @@ def compile_xsd(
                         continue
                     kind, payload = _element_type(decl, ctx)
                     if kind != "complex":
+                        detected_simple[decl.get("name")] = (el, payload, gel)
                         continue
                     detected[decl.get("name")] = (el, payload, gel)
     if row_elements is not None:
-        missing = [r for r in row_elements if r not in detected]
+        missing = [
+            r for r in row_elements
+            if r not in detected and r not in detected_simple
+        ]
         if missing:
             raise XsdCompileError(
                 f"row elements {missing} not found as repeated complex "
-                f"children of a global element (detected: {sorted(detected)})"
+                f"children of a global element (detected: "
+                f"{sorted(detected) + sorted(detected_simple)})"
             )
-        detected = {k: detected[k] for k in row_elements}
-    if not detected:
+        detected = {k: detected[k] for k in row_elements if k in detected}
+        detected_simple = {
+            k: detected_simple[k] for k in row_elements
+            if k in detected_simple
+        }
+    if not detected and not detected_simple:
         raise XsdCompileError(
-            "no row element: the schema has no repeated complex child under "
-            "a global element (pass row_elements= to override)"
+            "no row element: the schema has no repeated complex or simple "
+            "child under a global element (pass row_elements= to override)"
         )
 
     # --- flatten each row element to columns ------------------------------
@@ -732,20 +748,42 @@ def compile_xsd(
         )
         for name in tables
     }
+    parent_of = {
+        name: parent.get("name")
+        for name, (_el, _ct, parent) in detected.items()
+    }
+    column_paths = {
+        name: {c.name: c.path for c in tables[name]} for name in tables
+    }
+    # repeated SIMPLE children as one-column tables: one row per element
+    # occurrence, 'value' = element text carrying the simple type's facets
+    for name, (el, facets, gel) in detected_simple.items():
+        min_occ = int(el.get("minOccurs", "1"))
+        max_occ = _max_occurs(el)
+        model = (
+            (S.Occurs(f"occurs-{name}", where="TRUE",
+                      min_occurs=min_occ, max_occurs=max_occ),)
+            if emit_occurs and (min_occ > 0 or max_occ is not None) else ()
+        )
+        specs[name] = S.TableSpec(
+            name=name,
+            scope_col=scope_col,
+            order_col=order_col,
+            columns=(S.ColumnSpec("value", tuple(facets)),),
+            model=model,
+        )
+        parent_of[name] = gel.get("name")
+        column_paths[name] = {"value": ()}
     return CompiledXsd(
         specs=specs,
         external_keyrefs=tuple(external),
         restrictions=tuple(ctx.restrictions),
-        parent_of={
-            name: parent.get("name")
-            for name, (_el, _ct, parent) in detected.items()
-        },
-        column_paths={
-            name: {c.name: c.path for c in tables[name]} for name in tables
-        },
+        parent_of=parent_of,
+        column_paths=column_paths,
         skipped_paths={
             name: frozenset(ctx.skipped.get(name, ())) for name in tables
         },
+        simple_rows=frozenset(detected_simple),
     )
 
 

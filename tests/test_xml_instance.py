@@ -126,3 +126,42 @@ def test_xml_instance_tables_decode(spark):
     assert vt["car"].count() == 2
     assert {r["make"] for r in vt["bike"].collect()} == {
         "Harley-Davidson", "Yamaha"}
+
+
+MB = "/root/reference/tests/test_cases/examples/menù"
+
+
+def test_menu_simple_row_tables(spark):
+    """Repeated SIMPLE children of a global element compile to one-column
+    row tables (menù example: unicode element name + file path), validate
+    clean, and decode with order preserved."""
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        xml_instance_tables,
+    )
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    c = compile_xsd(f"{MB}/menù.xsd")
+    assert sorted(c.specs) == ["antipasto", "dolce", "primo", "secondo"]
+    assert c.simple_rows == frozenset(c.specs)
+    assert count_errors(spark, f"{MB}/menù.xml", c) == 0
+    tabs = xml_instance_tables(spark, f"{MB}/menù.xml", c)
+    assert sorted(r["value"] for r in tabs["dolce"].collect()) == [
+        "Crostata ai mirtilli", "Tiramisù"]
+
+
+def test_menu_occurs_violation(spark, tmp_path):
+    """maxOccurs=10 on a simple-row element: an instance with 11 antipasti
+    trips the per-document Occurs bound."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    c = compile_xsd(f"{MB}/menù.xsd")
+    items = "".join(f"<antipasto>a{i}</antipasto>" for i in range(11))
+    doc = (f"<menù>{items}<primo>p</primo><secondo>s</secondo>"
+           f"<dolce>d</dolce></menù>")
+    p = tmp_path / "menu11.xml"
+    p.write_text(f'<?xml version="1.0" encoding="UTF-8"?>\n{doc}',
+                 encoding="utf-8")
+    v = validate_xml_instance(spark, str(p), c, table="antipasto")
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "occurs:occurs-antipasto"
