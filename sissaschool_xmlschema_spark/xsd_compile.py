@@ -132,6 +132,8 @@ class _Ctx:
     simple_types: dict = field(default_factory=dict)
     complex_types: dict = field(default_factory=dict)
     elements: dict = field(default_factory=dict)
+    groups: dict = field(default_factory=dict)  # named xs:group
+    attr_groups: dict = field(default_factory=dict)  # named xs:attributeGroup
     restrictions: list = field(default_factory=list)
     lexical: bool = True
     # table -> set of path tuples whose subtrees are OUTSIDE the compiled
@@ -352,6 +354,14 @@ def _max_occurs(el: ET.Element) -> Optional[int]:
 def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
                         cols: list, uniques: list, scope_col: str,
                         steps: tuple = ()) -> None:
+    # named attribute groups (attributes.py XsdAttributeGroup): inline the
+    # referenced group's attributes (which may nest further group refs)
+    for agref in ct.findall(_xs("attributeGroup")):
+        ref = agref.get("ref")
+        ag = ctx.attr_groups.get(_local(ref)) if ref else agref
+        if ag is None:
+            raise XsdCompileError(f"unresolved attributeGroup ref {ref!r}")
+        _flatten_attributes(ag, ctx, prefix, cols, uniques, scope_col, steps)
     for attr in ct.findall(_xs("attribute")):
         aname = attr.get("name") or _local(attr.get("ref"))
         name = prefix + aname
@@ -385,6 +395,19 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   table: str, steps: tuple = ()) -> None:
     """Flatten one complexType's attributes + content into columns."""
     _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps)
+    # named model groups (xs:group ref, groups.py XsdGroup): inline the
+    # referenced group's own sequence/all/choice as if declared in place
+    for gref in ct.findall(_xs("group")):
+        ref = gref.get("ref")
+        g = ctx.groups.get(_local(ref)) if ref else gref
+        if g is None:
+            raise XsdCompileError(f"unresolved group ref {ref!r}")
+        fake = ET.Element(_xs("complexType"))
+        for sub in g:
+            if sub.tag in (_xs("sequence"), _xs("all"), _xs("choice")):
+                fake.append(sub)
+        _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
+                      in_choice, table, steps)
     for group_tag in ("sequence", "all", "choice"):
         for group in ct.findall(_xs(group_tag)):
             child_in_choice = in_choice or group_tag == "choice"
@@ -439,6 +462,19 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
                               in_choice or sub.tag == _xs("choice"), table,
                               steps)
+            for gref in group.findall(_xs("group")):
+                # xs:group ref inside a model group: inline in place
+                ref = gref.get("ref")
+                g = ctx.groups.get(_local(ref)) if ref else gref
+                if g is None:
+                    raise XsdCompileError(f"unresolved group ref {ref!r}")
+                fake = ET.Element(_xs("complexType"))
+                for sub in g:
+                    if sub.tag in (_xs("sequence"), _xs("all"),
+                                   _xs("choice")):
+                        fake.append(sub)
+                _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
+                              child_in_choice, table, steps)
 
 
 # ---------------------------------------------------------------------------
@@ -581,6 +617,10 @@ def compile_xsd(
             ctx.complex_types.setdefault(ct.get("name"), ct)
         for el in r.findall(_xs("element")):
             ctx.elements.setdefault(el.get("name"), el)
+        for g in r.findall(_xs("group")):
+            ctx.groups.setdefault(g.get("name"), g)
+        for ag in r.findall(_xs("attributeGroup")):
+            ctx.attr_groups.setdefault(ag.get("name"), ag)
 
     # --- row-element detection -------------------------------------------
     # a row element is a repeated complex child directly under a global

@@ -336,3 +336,59 @@ def test_string_source_include_needs_base_dir():
     # with base_dir anchoring the relative location, the include resolves
     c = compile_xsd(src, base_dir=VEHICLES_DIR)
     assert "car" in c.specs
+
+
+def test_named_groups_and_attribute_groups():
+    """xs:group / xs:attributeGroup refs inline the named definitions
+    (reference groups.py XsdGroup, attributes.py XsdAttributeGroup)."""
+    src = wrap("""
+      <xs:attributeGroup name="ids">
+        <xs:attribute name="id" type="xs:ID" use="required"/>
+        <xs:attribute name="rev" type="xs:int"/>
+      </xs:attributeGroup>
+      <xs:group name="body">
+        <xs:sequence>
+          <xs:element name="title" type="xs:string"/>
+          <xs:element name="score" type="xs:int" minOccurs="0"/>
+        </xs:sequence>
+      </xs:group>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:group ref="body"/>
+              <xs:element name="tail" type="xs:string" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attributeGroup ref="ids"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    sp = c.spec("row")
+    names = [col.name for col in sp.columns]
+    assert set(names) >= {"id", "rev", "title", "score", "tail"}
+    by = {col.name: col for col in sp.columns}
+    assert any(isinstance(f, S.Required) for f in by["id"].facets)
+    assert any(isinstance(f, S.Required) for f in by["title"].facets)
+    assert not any(isinstance(f, S.Required) for f in by["score"].facets)
+    # xs:ID in the group still yields the per-document Unique
+    assert any(u.name == "id-id-unique" for u in sp.identities)
+    # paths recorded for the instance reader
+    assert c.column_paths["row"]["id"] == ("@id",)
+    assert c.column_paths["row"]["title"] == ("title",)
+
+
+def test_unresolved_group_ref_is_loud():
+    src = wrap("""
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:group ref="nope"/>
+            <xs:element name="x" type="xs:string"/>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    with pytest.raises(XsdCompileError, match="unresolved group ref"):
+        compile_xsd(src)
