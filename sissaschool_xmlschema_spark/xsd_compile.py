@@ -545,6 +545,7 @@ def _collect_schema_roots(
     """
     notes: list = []
     roots: list = []
+    redefines: list = []  # (kind, redefine/override node, target root|None)
     visited: set = set()
 
     def load(src, directory, what):
@@ -553,13 +554,13 @@ def _collect_schema_roots(
         else:
             path = os.path.abspath(os.fspath(src))
             if path in visited:
-                return
+                return None
             visited.add(path)
             with open(path, "r", encoding="utf-8") as f:
                 root = _parse_schema_text(f.read(), path)
             here = os.path.dirname(path)
         roots.append(root)
-        for tag in ("include", "import"):
+        for tag in ("include", "import", "redefine", "override"):
             for node in root.findall(_xs(tag)):
                 loc = node.get("schemaLocation")
                 if not loc:
@@ -575,10 +576,37 @@ def _collect_schema_roots(
                     notes.append(f"xs:{tag} {loc!r}: not found under "
                                  f"{here!r} — skipped")
                     continue
-                load(target, os.path.dirname(target), target)
+                troot = load(target, os.path.dirname(target), target)
+                if tag in ("redefine", "override"):
+                    redefines.append((tag, node, troot))
+        return root
 
     load(source, base_dir, "source")
-    return roots, notes
+    return roots, notes, redefines
+
+
+def _rewire_self_base(node: ET.Element, name: str, alias: str) -> bool:
+    """Point any self-referential derivation/ref inside a redefine child at
+    ``alias`` (the preserved original definition).  Returns True if anything
+    was rewired — the canonical xs:redefine pattern derives from itself
+    (e.g. ``<xs:restriction base="X">`` inside the redefinition of X)."""
+    hit = False
+    for el in node.iter():
+        base = el.get("base")
+        if base is not None and _local(base) == name and el.tag in (
+            _xs("restriction"), _xs("extension")
+        ):
+            el.set("base", alias)
+            hit = True
+        ref = el.get("ref")
+        if (
+            ref is not None and _local(ref) == name
+            and el.tag in (_xs("group"), _xs("attributeGroup"))
+            and el is not node
+        ):
+            el.set("ref", alias)
+            hit = True
+    return hit
 
 
 def compile_xsd(
@@ -602,11 +630,47 @@ def compile_xsd(
     located ``xs:import`` are followed relative to each including file
     (``base_dir`` supplies the anchor for literal string sources).
     """
-    roots, include_notes = _collect_schema_roots(source, base_dir)
+    roots, include_notes, redefines = _collect_schema_roots(source, base_dir)
     root = roots[0]
 
     ctx = _Ctx(root=root, lexical=lexical)
     ctx.restrictions.extend(include_notes)
+    # xs:redefine / xs:override children REPLACE the target document's
+    # same-named globals (loaders.py redefine/override handling).  They
+    # register FIRST so the later setdefault sweep cannot shadow them; a
+    # redefine whose derivation references its own name (the canonical
+    # redefine pattern) gets the base rewired to the preserved original
+    # under '<name>__orig'.
+    _REG_TAGS = {
+        _xs("simpleType"): "simple_types",
+        _xs("complexType"): "complex_types",
+        _xs("group"): "groups",
+        _xs("attributeGroup"): "attr_groups",
+    }
+    for kind, node, troot in redefines:
+        for child in list(node):
+            regname = _REG_TAGS.get(child.tag)
+            name = child.get("name")
+            if regname is None or name is None:
+                continue  # xs:annotation etc.
+            reg = getattr(ctx, regname)
+            if kind == "redefine":
+                orig = None
+                if troot is not None:
+                    orig = next(
+                        (o for o in troot.findall(child.tag)
+                         if o.get("name") == name), None
+                    )
+                rewired = _rewire_self_base(child, name, f"{name}__orig")
+                if rewired:
+                    if orig is None:
+                        raise XsdCompileError(
+                            f"xs:redefine of {name!r}: self-referential "
+                            "derivation but the original definition was "
+                            "not found in the redefined document"
+                        )
+                    reg[f"{name}__orig"] = orig
+            reg[name] = child
     # first definition wins across the include graph (the including document
     # is roots[0]), matching the reference's maps-level global registration
     # (loaders.py:118-167: a name is registered once per namespace)

@@ -392,3 +392,84 @@ def test_unresolved_group_ref_is_loud():
     """)
     with pytest.raises(XsdCompileError, match="unresolved group ref"):
         compile_xsd(src)
+
+
+def _write_base_schema(tmp_path):
+    (tmp_path / "base.xsd").write_text(wrap("""
+      <xs:simpleType name="code">
+        <xs:restriction base="xs:string">
+          <xs:pattern value="[a-z]+"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:element name="c" type="code"/>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """))
+
+
+def test_redefine_self_referential_simple_type(tmp_path):
+    """xs:redefine's canonical pattern — the redefinition derives from the
+    ORIGINAL same-named type (loaders.py redefine handling): facets of both
+    derivation steps apply (patterns AND across steps)."""
+    _write_base_schema(tmp_path)
+    (tmp_path / "main.xsd").write_text(wrap("""
+      <xs:redefine schemaLocation="base.xsd">
+        <xs:simpleType name="code">
+          <xs:restriction base="code">
+            <xs:maxLength value="5"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:redefine>
+    """))
+    sp = xsd_to_spec(str(tmp_path / "main.xsd"))
+    c = next(col for col in sp.columns if col.name == "c")
+    # original step's pattern survives AND the redefine adds maxLength
+    assert any(isinstance(f, S.Pattern) and tuple(f.patterns) == ("[a-z]+",)
+               for f in c.facets)
+    assert any(isinstance(f, S.MaxLength) and f.value == 5 for f in c.facets)
+
+
+def test_override_replaces_outright(tmp_path):
+    """xs:override children REPLACE the originals (no self-derivation):
+    the overridden type's pattern is gone, the new enumeration applies."""
+    _write_base_schema(tmp_path)
+    (tmp_path / "main.xsd").write_text(wrap("""
+      <xs:override schemaLocation="base.xsd">
+        <xs:simpleType name="code">
+          <xs:restriction base="xs:string">
+            <xs:enumeration value="ok"/><xs:enumeration value="no"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:override>
+    """))
+    sp = xsd_to_spec(str(tmp_path / "main.xsd"))
+    c = next(col for col in sp.columns if col.name == "c")
+    assert not any(isinstance(f, S.Pattern) for f in c.facets)
+    assert any(isinstance(f, S.Enumeration) and set(f.values) == {"ok", "no"}
+               for f in c.facets)
+
+
+def test_redefine_missing_original_is_loud(tmp_path):
+    (tmp_path / "other.xsd").write_text(wrap(
+        '<xs:simpleType name="unrelated">'
+        '<xs:restriction base="xs:string"/></xs:simpleType>'))
+    (tmp_path / "main.xsd").write_text(wrap("""
+      <xs:redefine schemaLocation="other.xsd">
+        <xs:simpleType name="code">
+          <xs:restriction base="code"><xs:maxLength value="5"/></xs:restriction>
+        </xs:simpleType>
+      </xs:redefine>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:element name="c" type="code"/>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """))
+    with pytest.raises(XsdCompileError, match="self-referential"):
+        compile_xsd(str(tmp_path / "main.xsd"))
