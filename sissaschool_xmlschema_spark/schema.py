@@ -34,12 +34,28 @@ from sissaschool_xmlschema_spark.spec_io import load_spec
 
 
 class SparkSchema:
-    """Compiled validation schema bound to no particular DataFrame."""
+    """Compiled validation schema bound to no particular DataFrame.
 
-    def __init__(self, source: Union[str, S.TableSpec]) -> None:
-        self.spec: S.TableSpec = (
-            load_spec(source) if isinstance(source, str) else source
-        )
+    ``source`` may be a TableSpec, a JSON spec path, **a real .xsd path or a
+    literal ``<xs:schema>`` string** (the reference's own front door,
+    ``XMLSchema('doc.xsd')`` — schemas.py:149): XSD sources compile through
+    :mod:`~sissaschool_xmlschema_spark.xsd_compile` and additionally enable
+    the raw-instance methods (:meth:`validate_xml` etc.).  ``table`` picks
+    the row element when the schema defines several.
+    """
+
+    def __init__(self, source: Union[str, S.TableSpec],
+                 table: Optional[str] = None) -> None:
+        self.compiled = None  # CompiledXsd when built from an XSD document
+        if isinstance(source, S.TableSpec):
+            self.spec: S.TableSpec = source
+        elif source.lstrip().startswith("<") or str(source).endswith(".xsd"):
+            from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+            self.compiled = compile_xsd(source)
+            self.spec = self.compiled.spec(table)
+        else:
+            self.spec = load_spec(source)
         self.plan: CompiledPlan = compile_plan(self.spec)
 
     # --- validation (schemas.py:1214-1283 API shape) -----------------------
@@ -79,3 +95,34 @@ class SparkSchema:
                 [], "column string, offending_value string, n bigint"
             )
         return decode(df, fields, keep_columns)
+
+    # --- raw XML instances (XSD-built schemas only; schemas.py:1583) --------
+
+    def _require_xsd(self):
+        if self.compiled is None:
+            raise ValueError(
+                "raw-instance methods need a schema built from an XSD "
+                "document (SparkSchema('doc.xsd'))"
+            )
+        return self.compiled
+
+    def validate_xml(self, spark, xml_path: str) -> DataFrame:
+        """All violations for one raw instance document — row-level AND
+        structural (char data, undeclared attributes, repeated children),
+        every row element plus cross-table keyrefs."""
+        from sissaschool_xmlschema_spark.sources.xml_instance import (
+            validate_xml_instance,
+        )
+
+        return validate_xml_instance(spark, xml_path, self._require_xsd())
+
+    def is_valid_xml(self, spark, xml_path: str) -> bool:
+        return self.validate_xml(spark, xml_path).limit(1).count() == 0
+
+    def decode_xml(self, spark, xml_path: str) -> dict:
+        """``{row element: flat DataFrame}`` — the ``to_dict`` analogue."""
+        from sissaschool_xmlschema_spark.sources.xml_instance import (
+            xml_instance_tables,
+        )
+
+        return xml_instance_tables(spark, xml_path, self._require_xsd())

@@ -277,3 +277,27 @@ def test_write_production_layout_zero_exchange_reads(spark, tmp_path):
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     assert agg.count() == 20
     spark.sql("DROP TABLE t_layout_test")
+
+
+def test_spark_schema_from_xsd_document(spark):
+    """SparkSchema('doc.xsd') is the reference's own front door
+    (XMLSchema('doc.xsd'), schemas.py:149): DataFrame validation AND the
+    raw-instance methods work from one object."""
+    vb = "/root/reference/tests/test_cases/examples/vehicles"
+    sch = SparkSchema(f"{vb}/vehicles.xsd", table="car")
+    df = spark.createDataFrame(
+        [(1, 0, "Porsche", "911")],
+        "doc_id long, row_idx int, make string, model string",
+    )
+    assert sch.is_valid(df)
+    assert sch.is_valid_xml(spark, f"{vb}/vehicles.xml")
+    assert not sch.is_valid_xml(spark, f"{vb}/vehicles-2_errors.xml")
+    assert sch.validate_xml(spark, f"{vb}/vehicles-2_errors.xml").count() == 2
+    tabs = sch.decode_xml(spark, f"{vb}/vehicles.xml")
+    assert tabs["car"].count() == 2
+
+
+def test_spark_schema_xml_methods_need_xsd(spark):
+    sch = SparkSchema(transcript_spec())
+    with pytest.raises(ValueError, match="built from an XSD"):
+        sch.validate_xml(spark, "/tmp/nope.xml")
