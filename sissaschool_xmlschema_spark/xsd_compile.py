@@ -394,6 +394,64 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   uniques: list, scope_col: str, in_choice: bool,
                   table: str, steps: tuple = ()) -> None:
     """Flatten one complexType's attributes + content into columns."""
+    # complexContent extension/restriction (complex_types.py derivation):
+    # extension = base's content + attributes FOLLOWED BY the derived
+    # additions; restriction = the restricted content REPLACES the base's
+    # (the restriction repeats what it keeps), base attributes still apply
+    cc = ct.find(_xs("complexContent"))
+    if cc is not None:
+        for deriv_tag in ("extension", "restriction"):
+            deriv = cc.find(_xs(deriv_tag))
+            if deriv is None:
+                continue
+            base_local = _local(deriv.get("base"))
+            base_ct = ctx.complex_types.get(base_local)
+            if base_ct is None:
+                raise XsdCompileError(
+                    f"complexContent {deriv_tag} of unresolved base "
+                    f"{deriv.get('base')!r}"
+                )
+            if deriv_tag == "extension":
+                _flatten_type(base_ct, ctx, prefix, cols, uniques,
+                              scope_col, in_choice, table, steps)
+            else:
+                # restriction: content comes from the derived node only;
+                # the base contributes attributes (they are inherited)
+                _flatten_attributes(base_ct, ctx, prefix, cols, uniques,
+                                    scope_col, steps)
+            _flatten_type_body(deriv, ctx, prefix, cols, uniques, scope_col,
+                               in_choice, table, steps)
+            # a restriction (or malformed extension) redeclares base
+            # attributes/children it constrains: the DERIVED declaration
+            # wins, at the base's position
+            seen: dict = {}
+            for i, c in enumerate(cols):
+                if c.name in seen:
+                    cols[seen[c.name]] = c
+                    cols[i] = None
+                else:
+                    seen[c.name] = i
+            cols[:] = [c for c in cols if c is not None]
+            useen: set = set()
+            uniques[:] = [
+                u for u in uniques
+                if not (u.name in useen or useen.add(u.name))
+            ]
+        return
+    if ct.find(_xs("simpleContent")) is not None:
+        ctx.restrictions.append(
+            f"{table}: simpleContent (text + attributes) under "
+            f"{prefix or 'row'} is outside the flat subset (skipped)"
+        )
+        return
+    _flatten_type_body(ct, ctx, prefix, cols, uniques, scope_col,
+                       in_choice, table, steps)
+
+
+def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
+                       uniques: list, scope_col: str, in_choice: bool,
+                       table: str, steps: tuple = ()) -> None:
+    """Attributes + model groups of one complexType/derivation node."""
     _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps)
     # named model groups (xs:group ref, groups.py XsdGroup): inline the
     # referenced group's own sequence/all/choice as if declared in place

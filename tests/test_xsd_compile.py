@@ -473,3 +473,90 @@ def test_redefine_missing_original_is_loud(tmp_path):
     """))
     with pytest.raises(XsdCompileError, match="self-referential"):
         compile_xsd(str(tmp_path / "main.xsd"))
+
+
+def test_complex_content_extension():
+    """complexContent extension = base content + attributes followed by the
+    derived additions (complex_types.py derivation)."""
+    src = wrap("""
+      <xs:complexType name="baseType">
+        <xs:sequence>
+          <xs:element name="name" type="xs:string"/>
+        </xs:sequence>
+        <xs:attribute name="id" type="xs:ID" use="required"/>
+      </xs:complexType>
+      <xs:complexType name="extType">
+        <xs:complexContent>
+          <xs:extension base="baseType">
+            <xs:sequence>
+              <xs:element name="score" type="xs:int" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attribute name="lang" type="xs:language"/>
+          </xs:extension>
+        </xs:complexContent>
+      </xs:complexType>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" type="extType" maxOccurs="unbounded"/>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    sp = c.spec("row")
+    names = [col.name for col in sp.columns]
+    assert set(names) == {"id", "name", "score", "lang"}
+    by = {col.name: col for col in sp.columns}
+    assert any(isinstance(f, S.Required) for f in by["id"].facets)
+    assert any(u.name == "id-id-unique" for u in sp.identities)
+    assert c.column_paths["row"]["score"] == ("score",)
+
+
+def test_complex_content_restriction_derived_wins():
+    """Restriction: content comes from the restricted node; redeclared
+    attributes override the base's declaration (use tightened)."""
+    src = wrap("""
+      <xs:complexType name="baseType">
+        <xs:sequence>
+          <xs:element name="a" type="xs:string"/>
+          <xs:element name="b" type="xs:string" minOccurs="0"/>
+        </xs:sequence>
+        <xs:attribute name="k" type="xs:string"/>
+      </xs:complexType>
+      <xs:complexType name="narrowType">
+        <xs:complexContent>
+          <xs:restriction base="baseType">
+            <xs:sequence>
+              <xs:element name="a" type="xs:string"/>
+            </xs:sequence>
+            <xs:attribute name="k" type="xs:string" use="required"/>
+          </xs:restriction>
+        </xs:complexContent>
+      </xs:complexType>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" type="narrowType" maxOccurs="unbounded"/>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    sp = compile_xsd(src).spec("row")
+    by = {col.name: col for col in sp.columns}
+    # restriction dropped 'b' from content; 'k' became required
+    assert set(by) == {"k", "a"}
+    assert any(isinstance(f, S.Required) for f in by["k"].facets)
+    assert [c for c in sp.columns].count(by["k"]) == 1  # deduped
+
+
+def test_simple_content_is_loud():
+    src = wrap("""
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:element name="x">
+              <xs:complexType><xs:simpleContent>
+                <xs:extension base="xs:string">
+                  <xs:attribute name="unit" type="xs:string"/>
+                </xs:extension>
+              </xs:simpleContent></xs:complexType>
+            </xs:element>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    assert any("simpleContent" in r for r in c.restrictions)
