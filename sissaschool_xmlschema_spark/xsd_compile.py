@@ -752,22 +752,42 @@ def compile_xsd(
     # repeated SIMPLE children of a global element (menù example shape):
     # name -> (decl element, facet tuple, parent global element)
     detected_simple: dict = {}
+    def _model_groups(ct):
+        """Model groups of a complexType, following complexContent
+        extension chains (the base's groups first)."""
+        cc = ct.find(_xs("complexContent"))
+        if cc is not None:
+            for deriv_tag in ("extension", "restriction"):
+                deriv = cc.find(_xs(deriv_tag))
+                if deriv is None:
+                    continue
+                if deriv_tag == "extension":
+                    base = ctx.complex_types.get(_local(deriv.get("base")))
+                    if base is not None:
+                        yield from _model_groups(base)
+                for group_tag in ("sequence", "all", "choice"):
+                    for group in deriv.findall(_xs(group_tag)):
+                        yield group
+            return
+        for group_tag in ("sequence", "all", "choice"):
+            for group in ct.findall(_xs(group_tag)):
+                yield group
+
     for gname, gel in ctx.elements.items():
         _, gpayload = _element_type(gel, ctx)
         if not isinstance(gpayload, ET.Element):
             continue
-        for group_tag in ("sequence", "all", "choice"):
-            for group in gpayload.findall(_xs(group_tag)):
-                for el in group.findall(_xs("element")):
-                    decl = _resolve_element(el, ctx)
-                    max_occ = _max_occurs(el)
-                    if max_occ is not None and max_occ <= 1:
-                        continue
-                    kind, payload = _element_type(decl, ctx)
-                    if kind != "complex":
-                        detected_simple[decl.get("name")] = (el, payload, gel)
-                        continue
-                    detected[decl.get("name")] = (el, payload, gel)
+        for group in _model_groups(gpayload):
+            for el in group.findall(_xs("element")):
+                decl = _resolve_element(el, ctx)
+                max_occ = _max_occurs(el)
+                if max_occ is not None and max_occ <= 1:
+                    continue
+                kind, payload = _element_type(decl, ctx)
+                if kind != "complex":
+                    detected_simple[decl.get("name")] = (el, payload, gel)
+                    continue
+                detected[decl.get("name")] = (el, payload, gel)
     if row_elements is not None:
         missing = [
             r for r in row_elements

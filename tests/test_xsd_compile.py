@@ -560,3 +560,30 @@ def test_simple_content_is_loud():
     """)
     c = compile_xsd(src)
     assert any("simpleContent" in r for r in c.restrictions)
+
+
+def test_row_detection_through_complex_content():
+    """A global element whose type DERIVES its content (complexContent
+    extension) still exposes its repeated complex child as a row element."""
+    src = wrap("""
+      <xs:complexType name="listBase">
+        <xs:sequence>
+          <xs:element name="row" maxOccurs="unbounded">
+            <xs:complexType><xs:sequence>
+              <xs:element name="v" type="xs:string"/>
+            </xs:sequence></xs:complexType>
+          </xs:element>
+        </xs:sequence>
+      </xs:complexType>
+      <xs:complexType name="listType">
+        <xs:complexContent>
+          <xs:extension base="listBase">
+            <xs:attribute name="version" type="xs:string"/>
+          </xs:extension>
+        </xs:complexContent>
+      </xs:complexType>
+      <xs:element name="doc" type="listType"/>
+    """)
+    c = compile_xsd(src)
+    assert "row" in c.specs
+    assert c.parent_of["row"] == "doc"
