@@ -136,15 +136,26 @@ class _TableReader:
                     col, dt = F.element_at(col, 1), dt.elementType
                 if isinstance(dt, T.StructType):
                     # simple-content element carrying attributes: text is
-                    # the nested _VALUE; its attributes are undeclared
+                    # the nested _VALUE; declared attributes (simpleContent
+                    # extension columns) extract, the rest are undeclared
                     names = dt.fieldNames()
                     for inner in names:
-                        if inner == "_VALUE":
+                        if inner == "_VALUE" or inner.startswith("_xmlns") \
+                                or inner.startswith("_xsi:"):
                             continue
-                        il, _ = _local_of(inner)
-                        self._flag(col.getField(inner),
-                                   "undeclared-attribute", il,
-                                   "cvc-complex-type.3.2.2")
+                        il, iattr = _local_of(inner)
+                        ikey = key + (("@" + il) if iattr else il,)
+                        if ikey in self.paths:
+                            self.extract[self.paths[ikey]] = (
+                                col.getField(inner).cast("string")
+                            )
+                        else:
+                            self._flag(
+                                col.getField(inner),
+                                "undeclared-attribute" if iattr
+                                else "undeclared-element",
+                                il, "cvc-complex-type.3.2.2",
+                            )
                     col = (col.getField("_VALUE") if "_VALUE" in names
                            else F.lit(None))
                 self.extract[out] = col.cast("string")

@@ -438,11 +438,30 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 if not (u.name in useen or useen.add(u.name))
             ]
         return
-    if ct.find(_xs("simpleContent")) is not None:
-        ctx.restrictions.append(
-            f"{table}: simpleContent (text + attributes) under "
-            f"{prefix or 'row'} is outside the flat subset (skipped)"
-        )
+    sc = ct.find(_xs("simpleContent"))
+    if sc is not None:
+        # simpleContent extension: the element's TEXT is a simple-typed
+        # value and it carries attributes (complex_types.py simple-content
+        # derivation).  Nested form flattens to <elem> (text, at the
+        # element's own path) + <elem>_<attr> columns.
+        ext = sc.find(_xs("extension"))
+        if ext is None or not prefix:
+            ctx.restrictions.append(
+                f"{table}: simpleContent "
+                f"{'restriction' if ext is None else 'on the row element'} "
+                f"under {prefix or 'row'} is outside the flat subset "
+                "(skipped)"
+            )
+            return
+        base = ext.get("base")
+        facets: list = []
+        if base and (
+            _is_builtin(base, ctx) or _local(base) in ctx.simple_types
+        ):
+            facets = list(_compile_simple(base, ctx, prefix))
+        cols.append(_Column(prefix[:-1], facets, path=steps))
+        _flatten_attributes(ext, ctx, prefix, cols, uniques, scope_col,
+                            steps)
         return
     _flatten_type_body(ct, ctx, prefix, cols, uniques, scope_col,
                        in_choice, table, steps)

@@ -165,3 +165,46 @@ def test_menu_occurs_violation(spark, tmp_path):
     rows = v.collect()
     assert len(rows) == 1
     assert rows[0]["constraint_id"] == "occurs:occurs-antipasto"
+
+
+def test_simple_content_instance_roundtrip(spark, tmp_path):
+    """simpleContent extension end-to-end: declared attribute extracts
+    into its column (Required satisfied), text keeps its lexical form,
+    an undeclared attribute on the same element is flagged."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="doc"><xs:complexType><xs:sequence>
+    <xs:element name="item" maxOccurs="unbounded">
+      <xs:complexType><xs:sequence>
+        <xs:element name="price">
+          <xs:complexType><xs:simpleContent>
+            <xs:extension base="xs:decimal">
+              <xs:attribute name="currency" type="xs:string" use="required"/>
+            </xs:extension>
+          </xs:simpleContent></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType>
+    </xs:element>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    good = tmp_path / "good.xml"
+    good.write_text(
+        '<doc><item><price currency="EUR">10.50</price></item>'
+        '<item><price currency="USD">3</price></item></doc>')
+    assert count_errors(spark, str(good), c) == 0
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text(
+        '<doc><item><price>oops</price></item>'
+        '<item><price currency="EUR" tax="x">1</price></item></doc>')
+    v = validate_xml_instance(spark, str(bad), c)
+    kinds = sorted(r["constraint_id"] for r in v.collect())
+    # missing required currency + non-decimal text + undeclared tax attr
+    assert kinds == [
+        "facet:price:BuiltinLexical",
+        "facet:price_currency:Required",
+        "structure:undeclared-attribute",
+    ]

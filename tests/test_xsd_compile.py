@@ -542,16 +542,46 @@ def test_complex_content_restriction_derived_wins():
     assert [c for c in sp.columns].count(by["k"]) == 1  # deduped
 
 
-def test_simple_content_is_loud():
+def test_simple_content_extension_flattens():
+    """Nested simpleContent extension: element text -> its own column with
+    the base type's facets; attributes -> <elem>_<attr> columns."""
+    src = wrap("""
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="row" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:element name="price">
+              <xs:complexType><xs:simpleContent>
+                <xs:extension base="xs:decimal">
+                  <xs:attribute name="currency" type="xs:string"
+                                use="required"/>
+                </xs:extension>
+              </xs:simpleContent></xs:complexType>
+            </xs:element>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    sp = c.spec("row")
+    by = {col.name: col for col in sp.columns}
+    assert set(by) == {"price", "price_currency"}
+    assert any(isinstance(f, S.BuiltinLexical) and f.type_name == "decimal"
+               for f in by["price"].facets)
+    assert any(isinstance(f, S.Required) for f in by["price_currency"].facets)
+    assert c.column_paths["row"]["price"] == ("price",)
+    assert c.column_paths["row"]["price_currency"] == ("price", "@currency")
+
+
+def test_simple_content_restriction_is_loud():
     src = wrap("""
       <xs:element name="doc"><xs:complexType><xs:sequence>
         <xs:element name="row" maxOccurs="unbounded">
           <xs:complexType><xs:sequence>
             <xs:element name="x">
               <xs:complexType><xs:simpleContent>
-                <xs:extension base="xs:string">
-                  <xs:attribute name="unit" type="xs:string"/>
-                </xs:extension>
+                <xs:restriction base="xs:string">
+                  <xs:maxLength value="3"/>
+                </xs:restriction>
               </xs:simpleContent></xs:complexType>
             </xs:element>
           </xs:sequence></xs:complexType>
