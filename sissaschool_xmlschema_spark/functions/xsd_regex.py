@@ -39,7 +39,22 @@ _MULTI_CHAR_ESCAPES = {
 }
 
 # Single-char escapes / classes Java shares with XSD: pass through.
-_PASSTHROUGH_ESCAPES = set("nrt\\|.?*+(){}[]^$-sSdDwW")
+_PASSTHROUGH_ESCAPES = set("nrt\\|.?*+(){}[]^$-")
+
+# XSD's char-class escapes differ from Java's defaults (XML Schema Part 2
+# §F.1.1): \s is exactly [ \t\n\r] (Java adds \x0B\f), \d is \p{Nd} (Java's
+# is ASCII [0-9]), \w is EVERYTHING minus punctuation/separators/other
+# (Java's is [a-zA-Z0-9_]).  Positive forms splice into classes; negative
+# forms nest as negated classes (legal Java nested-class union).
+_CLASS_ESCAPES = {
+    # esc: (standalone form, in-class splice)
+    "s": ("[ \\t\\n\\r]", " \\t\\n\\r"),
+    "S": ("[^ \\t\\n\\r]", "[^ \\t\\n\\r]"),
+    "d": ("\\p{Nd}", "\\p{Nd}"),
+    "D": ("[^\\p{Nd}]", "[^\\p{Nd}]"),
+    "w": ("[^\\p{P}\\p{Z}\\p{C}]", "[^\\p{P}\\p{Z}\\p{C}]"),
+    "W": ("[\\p{P}\\p{Z}\\p{C}]", "\\p{P}\\p{Z}\\p{C}"),
+}
 
 
 class XsdRegexError(ValueError):
@@ -68,14 +83,22 @@ def translate_pattern(pattern: str) -> str:
                     out.append(_MULTI_CHAR_ESCAPES[esc][1:-1])
                 else:
                     out.append(_MULTI_CHAR_ESCAPES[esc])
+            elif esc in _CLASS_ESCAPES:
+                standalone, splice = _CLASS_ESCAPES[esc]
+                out.append(splice if in_class else standalone)
             elif esc in _PASSTHROUGH_ESCAPES:
                 out.append("\\" + esc)
             elif esc == "p" or esc == "P":
-                # \p{...} unicode property — same syntax in Java.
-                m = re.match(r"[pP]\{[^}]+\}", pattern[i + 1 :])
+                # \p{...} unicode property — same syntax in Java, EXCEPT
+                # block names: XSD spells blocks \p{IsBasicLatin}, Java
+                # \p{InBasicLatin} (categories never start with "Is")
+                m = re.match(r"[pP]\{([^}]+)\}", pattern[i + 1 :])
                 if not m:
                     raise XsdRegexError(f"malformed \\p in {pattern!r}")
-                out.append("\\" + m.group(0))
+                prop = m.group(1)
+                if prop.startswith("Is"):
+                    prop = "In" + prop[2:]
+                out.append(f"\\{m.group(0)[0]}{{{prop}}}")
                 i += len(m.group(0)) + 1
                 continue
             else:
@@ -112,6 +135,12 @@ def translate_pattern(pattern: str) -> str:
             continue
         if ch == "]":
             in_class = False
+        if not in_class and ch in "^$":
+            # XSD regexes have NO anchors (anchoring is implicit): a bare
+            # ^ or $ outside a character class is a literal character
+            out.append("\\" + ch)
+            i += 1
+            continue
         out.append(ch)
         i += 1
     return "".join(out)

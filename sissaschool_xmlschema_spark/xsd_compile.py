@@ -966,11 +966,20 @@ def compile_xsd(
                       min_occurs=min_occ, max_occurs=max_occ),)
             if emit_occurs and (min_occ > 0 or max_occ is not None) else ()
         )
+        # element content deriving from xs:ID carries the document-wide ID
+        # uniqueness rule (simple_types.py:758-780), same as ID attributes
+        idents = tuple(
+            (S.Unique(f"{name}-id-unique", fields=("value",),
+                      scope=scope_col),)
+            if any(isinstance(f, S.BuiltinLexical) and f.type_name == "ID"
+                   for f in facets) else ()
+        )
         specs[name] = S.TableSpec(
             name=name,
             scope_col=scope_col,
             order_col=order_col,
             columns=(S.ColumnSpec("value", tuple(facets)),),
+            identities=idents,
             model=model,
         )
         parent_of[name] = gel.get("name")

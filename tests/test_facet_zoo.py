@@ -236,3 +236,33 @@ def test_compile_time_failures(spark):
         from sissaschool_xmlschema_spark.functions.facets import lower_facet
 
         lower_facet(S.WhiteSpace("weird"), "x")
+
+
+def test_xsd_regex_dialect_exactness(spark):
+    """XSD-vs-Java dialect differences the translator must bridge
+    (XML Schema Part 2 §F): literal ^/$, Is->In block names, XSD \\s/\\w."""
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.functions.xsd_regex import (
+        translate_and_anchor as T,
+    )
+
+    cases = [
+        (r"^$|.{3}", "^$", True), (r"^$|.{3}", "", False),
+        (r"\p{IsBasicLatin}*", "façade", False),
+        (r"[\p{IsBasicLatin}\p{IsLatin-1Supplement}]*", "façade", True),
+        (r"[\W]{0,5}", ".", True), (r"[\W]{0,5}", "a", False),
+        (r"\s", "\x0b", False),  # XSD \s is exactly [ \t\n\r]
+        (r"\d+", "٤٢", True),    # XSD \d is \p{Nd}, not ASCII
+    ]
+    df = spark.createDataFrame(
+        [(p, v, e) for p, v, e in cases], "p string, v string, e boolean"
+    )
+    rows = [
+        (c[0], c[1], c[2],
+         spark.createDataFrame([(c[1],)], "v string")
+         .select(F.col("v").rlike(T(c[0])).alias("m")).first()["m"])
+        for c in cases
+    ]
+    bad = [(p, v, e, g) for p, v, e, g in rows if e != g]
+    assert not bad, bad

@@ -208,3 +208,30 @@ def test_simple_content_instance_roundtrip(spark, tmp_path):
         "facet:price_currency:Required",
         "structure:undeclared-attribute",
     ]
+
+
+def test_patterns_feature_case_exact_errors(spark):
+    """features/patterns/patterns.xml --errors=7 (reference testfiles:93) —
+    exercises the XSD regex dialect end-to-end: literal ^/$ (no anchors in
+    XSD regexes: '^$' VALID against '^$|.{3}', '' invalid), \\p{Is...}
+    unicode blocks, class subtraction [\\i-[:]], XSD \\w/\\W, the empty
+    alternation branch, xs:Name lexicals, and element-content xs:ID
+    uniqueness."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    base = "/root/reference/tests/test_cases/features/patterns"
+    c = compile_xsd(f"{base}/patterns.xsd")
+    v = validate_xml_instance(spark, f"{base}/patterns.xml", c)
+    got = sorted(
+        (r["path"], r["constraint_id"], r["offending_value"])
+        for r in v.collect()
+    )
+    assert got == [
+        ("BasicString/value", "facet:value:Pattern", "façade"),
+        ("CRSw/value", "facet:value:Pattern", ""),
+        ("ISBN", "unique:ISBN-id-unique", "b0123456789012"),
+        ("ISBN/value", "facet:value:Pattern", "b01234567890123"),
+        ("Prefix/value", "facet:value:BuiltinLexical", "cc: dd:@#!%"),
+        ("Prefix/value", "facet:value:Pattern", "cc"),
+        ("ZipCode/value", "facet:value:Pattern", "I-55555"),
+    ]
