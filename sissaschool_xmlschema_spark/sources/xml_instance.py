@@ -112,6 +112,11 @@ class _TableReader:
                 continue  # namespace/schema-location machinery, not data
             col = F.col(f"{base}`{sf.name}`")
             if sf.name == "_VALUE":
+                if path in self.paths:
+                    # the element's own text IS a declared column (a
+                    # simpleContent row element's 'value')
+                    self.extract[self.paths[path]] = col.cast("string")
+                    continue
                 txt = F.trim(col.cast("string"))
                 self.struct_viols.append((
                     txt.isNotNull() & (txt != ""),
@@ -211,23 +216,36 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
             )
         )
 
-    # locals may be qualified (elementFormDefault="qualified", vh:car)
-    # or not (collection's bare <object>): match by local name
-    row_field = next(
-        (fn for fn in fields
-         if fn != "_VALUE" and _local_of(fn)[0] == name), None
-    )
-    if row_field is None:
-        # no row elements in this document; Occurs-style emptiness is a
-        # corpus-level concern, not an instance error
-        return None, parts
+    if name in getattr(compiled, "doc_rows", frozenset()):
+        # document-singleton table: the container element IS the row; its
+        # repeated children live in their own tables (suppressed via the
+        # compiler's skipped paths); _VALUE was checked container-level
+        keep = [
+            fn for fn in fields
+            if fn != "_VALUE" and not fn.startswith("_xmlns")
+            and not fn.startswith("_xsi:")
+        ]
+        rows = container.select(
+            F.struct(*[F.col(f"`{fn}`") for fn in keep]).alias("_row")
+        )
+    else:
+        # locals may be qualified (elementFormDefault="qualified", vh:car)
+        # or not (collection's bare <object>): match by local name
+        row_field = next(
+            (fn for fn in fields
+             if fn != "_VALUE" and _local_of(fn)[0] == name), None
+        )
+        if row_field is None:
+            # no row elements in this document; Occurs-style emptiness is a
+            # corpus-level concern, not an instance error
+            return None, parts
 
-    dtype = fields[row_field].dataType
-    elem = (
-        F.explode(F.col(f"`{row_field}`"))
-        if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
-    )
-    rows = container.select(elem.alias("_row"))
+        dtype = fields[row_field].dataType
+        elem = (
+            F.explode(F.col(f"`{row_field}`"))
+            if isinstance(dtype, T.ArrayType) else F.col(f"`{row_field}`")
+        )
+        rows = container.select(elem.alias("_row"))
 
     if name in getattr(compiled, "simple_rows", frozenset()):
         # repeated SIMPLE child (menù shape): the row IS the element text;

@@ -96,6 +96,9 @@ class CompiledXsd:
     # (the menù example's shape): one row per occurrence, single column
     # 'value' holding the element text
     simple_rows: frozenset = frozenset()
+    # document-singleton tables: one row per document holding a global
+    # element's own non-repeated fields (the element IS the row)
+    doc_rows: frozenset = frozenset()
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -445,12 +448,10 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
         # derivation).  Nested form flattens to <elem> (text, at the
         # element's own path) + <elem>_<attr> columns.
         ext = sc.find(_xs("extension"))
-        if ext is None or not prefix:
+        if ext is None:
             ctx.restrictions.append(
-                f"{table}: simpleContent "
-                f"{'restriction' if ext is None else 'on the row element'} "
-                f"under {prefix or 'row'} is outside the flat subset "
-                "(skipped)"
+                f"{table}: simpleContent restriction under "
+                f"{prefix or 'row'} is outside the flat subset (skipped)"
             )
             return
         base = ext.get("base")
@@ -459,7 +460,11 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             _is_builtin(base, ctx) or _local(base) in ctx.simple_types
         ):
             facets = list(_compile_simple(base, ctx, prefix))
-        cols.append(_Column(prefix[:-1], facets, path=steps))
+        # nested: <elem> column; at the ROW element itself: the text is the
+        # 'value' column (path () = the row's own text)
+        cols.append(
+            _Column(prefix[:-1] if prefix else "value", facets, path=steps)
+        )
         _flatten_attributes(ext, ctx, prefix, cols, uniques, scope_col,
                             steps)
         return
@@ -852,6 +857,45 @@ def compile_xsd(
             )
         table_model[name] = model
 
+    # --- document-singleton tables ------------------------------------------
+    # A global element that CONTAINS row elements may also carry singleton
+    # simple children / attributes of its own (features/decoder/data: config,
+    # duration, ... next to the repeated values).  Those flatten into a
+    # one-row-per-document table named after the global element; its
+    # repeated children stay in their own tables (recorded as skipped paths
+    # so the instance reader knows they're schema-declared).
+    doc_rows: set = set()
+    parent_names = {
+        gel.get("name") for (_e, _p, gel) in detected.values()
+    } | {gel.get("name") for (_e, _p, gel) in detected_simple.values()}
+    for gname, gel in ctx.elements.items():
+        if gname in tables or gname in detected_simple \
+                or gname not in parent_names:
+            continue
+        _, gpayload = _element_type(gel, ctx)
+        if not isinstance(gpayload, ET.Element):
+            continue
+        dcols: list = []
+        duniq: list = []
+        # speculative flatten: if no singleton column exists, roll back the
+        # restriction notes / skipped paths it recorded (the repeated
+        # children DO have their own tables — nothing is being skipped)
+        n_restr = len(ctx.restrictions)
+        prev_skipped = set(ctx.skipped.get(gname, ()))
+        _flatten_type(gpayload, ctx, "", dcols, duniq, scope_col,
+                      in_choice=False, table=gname)
+        if not dcols:
+            del ctx.restrictions[n_restr:]
+            if prev_skipped:
+                ctx.skipped[gname] = prev_skipped
+            else:
+                ctx.skipped.pop(gname, None)
+            continue
+        doc_rows.add(gname)
+        tables[gname] = dcols
+        table_uniques[gname] = duniq
+        table_model[gname] = []
+
     # --- identity constraints ---------------------------------------------
     # constraints may sit on ANY element declaration; resolve each selector
     # to the row element it selects (identities.py:252-337)
@@ -953,6 +997,7 @@ def compile_xsd(
         name: parent.get("name")
         for name, (_el, _ct, parent) in detected.items()
     }
+    parent_of.update({name: name for name in doc_rows})
     column_paths = {
         name: {c.name: c.path for c in tables[name]} for name in tables
     }
@@ -994,6 +1039,7 @@ def compile_xsd(
             name: frozenset(ctx.skipped.get(name, ())) for name in tables
         },
         simple_rows=frozenset(detected_simple),
+        doc_rows=frozenset(doc_rows),
     )
 
 

@@ -235,3 +235,28 @@ def test_patterns_feature_case_exact_errors(spark):
         ("Prefix/value", "facet:value:Pattern", "cc"),
         ("ZipCode/value", "facet:value:Pattern", "I-55555"),
     ]
+
+
+def test_decoder_data2_exact_errors(spark):
+    """features/decoder/data2.xml --errors=2 (testfiles:37): the repeated
+    celsius values live in a simple-row table (totalDigits=4 — leading and
+    trailing zeros don't count, 0500.0 and 500.00 pass, 50000.0 fails) and
+    the singleton fields live in the document-singleton 'data' table
+    (config's pattern rejects 'foo alternative')."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    base = "/root/reference/tests/test_cases/features/decoder"
+    c = compile_xsd(f"{base}/simple-types.xsd")
+    assert "data" in c.doc_rows
+    # simpleContent row element: text + attribute columns
+    cert = {col.name for col in c.specs["certification"].columns}
+    assert cert == {"value", "Year"}
+    v = validate_xml_instance(spark, f"{base}/data2.xml", c)
+    got = sorted(
+        (r["path"], r["constraint_id"], r["offending_value"])
+        for r in v.collect()
+    )
+    assert got == [
+        ("celsiusBodyTemp/value", "facet:value:TotalDigits", "50000.0"),
+        ("data/config", "facet:config:Pattern", "foo alternative"),
+    ]
