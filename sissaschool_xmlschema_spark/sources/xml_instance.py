@@ -236,8 +236,23 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
              if fn != "_VALUE" and _local_of(fn)[0] == name), None
         )
         if row_field is None:
-            # no row elements in this document; Occurs-style emptiness is a
-            # corpus-level concern, not an instance error
+            # no row elements anywhere in the document: a minOccurs>0 bound
+            # is still violated once per container occurrence
+            # (cvc-complex-type.2.4.b content-not-complete)
+            from sissaschool_xmlschema_spark import spec as S
+
+            for occ in spec.model:
+                if isinstance(occ, S.Occurs) and occ.min_occurs > 0:
+                    parts.append(
+                        container.select(
+                            F.lit(doc).alias("conv_id"),
+                            *_viol(name, parent, f"occurs:{occ.name}",
+                                   F.lit("0"),
+                                   f"element '{name}' occurs 0 times, "
+                                   f"minOccurs is {occ.min_occurs} "
+                                   "(cvc-complex-type.2.4.b)"),
+                        )
+                    )
             return None, parts
 
         dtype = fields[row_field].dataType

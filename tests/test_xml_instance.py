@@ -260,3 +260,41 @@ def test_decoder_data2_exact_errors(spark):
         ("celsiusBodyTemp/value", "facet:value:TotalDigits", "50000.0"),
         ("data/config", "facet:config:Pattern", "foo alternative"),
     ]
+
+
+def test_list_types_exact_errors(spark):
+    """features/derivations/list_types.xml --errors=2 (testfiles:45):
+    xs:list of xs:integer — '10.0 20 30' and 'hello' each fail item
+    validation; ' 10 20 30 ' passes (whiteSpace collapse before split)."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    base = "/root/reference/tests/test_cases/features/derivations"
+    c = compile_xsd(f"{base}/list_types.xsd")
+    v = validate_xml_instance(spark, f"{base}/list_types.xml", c)
+    vals = sorted(r["offending_value"] for r in v.collect())
+    assert vals == ["10.0 20 30", "hello"]
+
+
+def test_absent_required_row_element(spark, tmp_path):
+    """minOccurs>0 on a row element entirely absent from the document:
+    one under-occurrence violation per container (cvc-complex-type.2.4.b)."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="doc"><xs:complexType><xs:sequence>
+    <xs:element name="comment" type="xs:string" minOccurs="4"
+                maxOccurs="10"/>
+    <xs:element name="name" type="xs:string" maxOccurs="3"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    p = tmp_path / "m1.xml"
+    p.write_text("<doc>" + "<name>Paul</name>" * 6 + "</doc>")
+    v = validate_xml_instance(spark, str(p), c)
+    got = sorted((r["path"], r["constraint_id"]) for r in v.collect())
+    # absent comment (min 4) + name over max (3)
+    assert got == [
+        ("doc/comment", "occurs:occurs-comment"),
+        ("name/value", "occurs:occurs-name"),
+    ]
