@@ -296,5 +296,5 @@ def test_absent_required_row_element(spark, tmp_path):
     # absent comment (min 4) + name over max (3)
     assert got == [
         ("doc/comment", "occurs:occurs-comment"),
-        ("name/value", "occurs:occurs-name"),
+        ("name", "occurs:occurs-name"),
     ]
