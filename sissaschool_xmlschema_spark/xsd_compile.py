@@ -493,10 +493,16 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
     for group_tag in ("sequence", "all", "choice"):
         for group in ct.findall(_xs(group_tag)):
             child_in_choice = in_choice or group_tag == "choice"
+            # a repeated model group repeats its children (issue_026):
+            # they belong in their own tables, not in this row's columns
+            gmax_attr = group.get("maxOccurs", "1")
+            g_repeat = gmax_attr == "unbounded" or int(gmax_attr) > 1
             for el in group.findall(_xs("element")):
                 decl = _resolve_element(el, ctx)
                 name = decl.get("name")
                 max_occ = _max_occurs(el)
+                if g_repeat:
+                    max_occ = None
                 min_occ = int(el.get("minOccurs", "1"))
                 kind, payload = _element_type(decl, ctx)
                 if kind == "simple":
@@ -802,43 +808,37 @@ def compile_xsd(
         if not isinstance(gpayload, ET.Element):
             continue
         for group in _model_groups(gpayload):
+            # a repeated model GROUP repeats its children (issue_026's
+            # <xs:sequence maxOccurs="unbounded">): effective occurrence
+            # bounds multiply through the group's
+            gmax_attr = group.get("maxOccurs", "1")
+            gmax = None if gmax_attr == "unbounded" else int(gmax_attr)
+            gmin = int(group.get("minOccurs", "1"))
             for el in group.findall(_xs("element")):
                 decl = _resolve_element(el, ctx)
                 max_occ = _max_occurs(el)
-                if max_occ is not None and max_occ <= 1:
+                eff_max = (
+                    None if (max_occ is None or gmax is None)
+                    else max_occ * gmax
+                )
+                eff_min = int(el.get("minOccurs", "1")) * gmin
+                if eff_max is not None and eff_max <= 1:
                     continue
                 kind, payload = _element_type(decl, ctx)
                 if kind != "complex":
-                    detected_simple[decl.get("name")] = (el, payload, gel)
+                    detected_simple[decl.get("name")] = (
+                        el, payload, gel, eff_min, eff_max
+                    )
                     continue
-                detected[decl.get("name")] = (el, payload, gel)
-    if row_elements is not None:
-        missing = [
-            r for r in row_elements
-            if r not in detected and r not in detected_simple
-        ]
-        if missing:
-            raise XsdCompileError(
-                f"row elements {missing} not found as repeated complex "
-                f"children of a global element (detected: "
-                f"{sorted(detected) + sorted(detected_simple)})"
-            )
-        detected = {k: detected[k] for k in row_elements if k in detected}
-        detected_simple = {
-            k: detected_simple[k] for k in row_elements
-            if k in detected_simple
-        }
-    if not detected and not detected_simple:
-        raise XsdCompileError(
-            "no row element: the schema has no repeated complex or simple "
-            "child under a global element (pass row_elements= to override)"
-        )
+                detected[decl.get("name")] = (
+                    el, payload, gel, eff_min, eff_max
+                )
 
     # --- flatten each row element to columns ------------------------------
     tables: dict = {}
     table_uniques: dict = {}
     table_model: dict = {}
-    for name, (el, ctype, _parent) in detected.items():
+    for name, (el, ctype, _parent, eff_min, eff_max) in detected.items():
         cols: list = []
         uniques: list = []
         _flatten_type(ctype, ctx, "", cols, uniques, scope_col,
@@ -846,13 +846,11 @@ def compile_xsd(
         tables[name] = cols
         table_uniques[name] = uniques
         model: list = []
-        min_occ = int(el.get("minOccurs", "1"))
-        max_occ = _max_occurs(el)
-        if emit_occurs and (min_occ > 0 or max_occ is not None):
+        if emit_occurs and (eff_min > 0 or eff_max is not None):
             model.append(
                 S.Occurs(
                     f"occurs-{name}", where="TRUE",
-                    min_occurs=min_occ, max_occurs=max_occ,
+                    min_occurs=eff_min, max_occurs=eff_max,
                 )
             )
         table_model[name] = model
@@ -866,8 +864,15 @@ def compile_xsd(
     # so the instance reader knows they're schema-declared).
     doc_rows: set = set()
     parent_names = {
-        gel.get("name") for (_e, _p, gel) in detected.values()
-    } | {gel.get("name") for (_e, _p, gel) in detected_simple.values()}
+        gel.get("name") for (_e, _p, gel, _mn, _mx) in detected.values()
+    } | {
+        gel.get("name")
+        for (_e, _p, gel, _mn, _mx) in detected_simple.values()
+    }
+    if not detected and not detected_simple:
+        # pure-singleton documents (issue_028's root): every global complex
+        # element with flattenable fields becomes a document table
+        parent_names = set(ctx.elements)
     for gname, gel in ctx.elements.items():
         if gname in tables or gname in detected_simple \
                 or gname not in parent_names:
@@ -995,7 +1000,7 @@ def compile_xsd(
     }
     parent_of = {
         name: parent.get("name")
-        for name, (_el, _ct, parent) in detected.items()
+        for name, (_el, _ct, parent, _mn, _mx) in detected.items()
     }
     parent_of.update({name: name for name in doc_rows})
     column_paths = {
@@ -1003,13 +1008,11 @@ def compile_xsd(
     }
     # repeated SIMPLE children as one-column tables: one row per element
     # occurrence, 'value' = element text carrying the simple type's facets
-    for name, (el, facets, gel) in detected_simple.items():
-        min_occ = int(el.get("minOccurs", "1"))
-        max_occ = _max_occurs(el)
+    for name, (el, facets, gel, eff_min, eff_max) in detected_simple.items():
         model = (
             (S.Occurs(f"occurs-{name}", where="TRUE",
-                      min_occurs=min_occ, max_occurs=max_occ),)
-            if emit_occurs and (min_occ > 0 or max_occ is not None) else ()
+                      min_occurs=eff_min, max_occurs=eff_max),)
+            if emit_occurs and (eff_min > 0 or eff_max is not None) else ()
         )
         # element content deriving from xs:ID carries the document-wide ID
         # uniqueness rule (simple_types.py:758-780), same as ID attributes
@@ -1029,6 +1032,26 @@ def compile_xsd(
         )
         parent_of[name] = gel.get("name")
         column_paths[name] = {"value": ()}
+
+    if not specs:
+        raise XsdCompileError(
+            "no row element: the schema has no repeated complex or simple "
+            "child under a global element and no flattenable document "
+            "fields (pass row_elements= to override)"
+        )
+    if row_elements is not None:
+        missing = [r for r in row_elements if r not in specs]
+        if missing:
+            raise XsdCompileError(
+                f"row elements {missing} not found as repeated complex "
+                f"children of a global element (detected: {sorted(specs)})"
+            )
+        specs = {k: specs[k] for k in row_elements}
+        external = [
+            e for e in external
+            if e.table in specs and e.key_table in specs
+        ]
+        doc_rows &= set(specs)
     return CompiledXsd(
         specs=specs,
         external_keyrefs=tuple(external),

@@ -15,8 +15,18 @@ from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
 VB = "/root/reference/tests/test_cases/examples/vehicles"
 CB = "/root/reference/tests/test_cases/examples/collection"
 
+IB = "/root/reference/tests/test_cases/issues"
+
 CASES = [
     # (instance, schema, expected errors) — straight from testfiles
+    # issue_026: repeated <xs:sequence maxOccurs="unbounded"> makes bar a
+    # row element; -2 violates fixed="BAR", -3 misses the required attr
+    (f"{IB}/issue_026/issue_026-1.xml", f"{IB}/issue_026/issue_026.xsd", 0),
+    (f"{IB}/issue_026/issue_026-2.xml", f"{IB}/issue_026/issue_026.xsd", 1),
+    (f"{IB}/issue_026/issue_026-3.xml", f"{IB}/issue_026/issue_026.xsd", 1),
+    # issue_028: pure-singleton document (xs:all of two required fields)
+    (f"{IB}/issue_028/issue_028-1.xml", f"{IB}/issue_028/issue_028.xsd", 0),
+    (f"{IB}/issue_028/issue_028-2.xml", f"{IB}/issue_028/issue_028.xsd", 1),
     (f"{VB}/vehicles.xml", f"{VB}/vehicles.xsd", 0),
     (f"{VB}/vehicles-1_error.xml", f"{VB}/vehicles.xsd", 1),
     (f"{VB}/vehicles-2_errors.xml", f"{VB}/vehicles.xsd", 2),
