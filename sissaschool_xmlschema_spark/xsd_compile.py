@@ -143,6 +143,9 @@ class _Ctx:
     # subset (repeated simple children, nested repeated groups): recorded so
     # the instance reader knows they are schema-declared (not "undeclared")
     skipped: dict = field(default_factory=dict)
+    # table -> list of RowAssertions compiled from xs:choice groups
+    # (mutual-exclusion of branches)
+    assertions: dict = field(default_factory=dict)
 
 
 def _local(qname: Optional[str]) -> str:
@@ -493,11 +496,19 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
     for group_tag in ("sequence", "all", "choice"):
         for group in ct.findall(_xs(group_tag)):
             child_in_choice = in_choice or group_tag == "choice"
+            # xs:choice branches are mutually exclusive: collect each
+            # branch's columns and emit a RowAssertion (at most one branch
+            # may have any value present — XSD requires exactly one, but a
+            # branch whose members are all absent is indistinguishable
+            # from an unchosen one on a flat row, so only exclusivity is
+            # checkable; models.py ModelVisitor analogue)
+            branches: list = []
             # a repeated model group repeats its children (issue_026):
             # they belong in their own tables, not in this row's columns
             gmax_attr = group.get("maxOccurs", "1")
             g_repeat = gmax_attr == "unbounded" or int(gmax_attr) > 1
             for el in group.findall(_xs("element")):
+                _branch_start = len(cols)
                 decl = _resolve_element(el, ctx)
                 name = decl.get("name")
                 max_occ = _max_occurs(el)
@@ -537,9 +548,14 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                     _flatten_type(payload, ctx, prefix + name + "_", cols,
                                   uniques, scope_col, child_in_choice, table,
                                   steps + (name,))
+                if group_tag == "choice":
+                    names = [c.name for c in cols[_branch_start:]]
+                    if names:
+                        branches.append(names)
             for sub in group.findall(_xs("sequence")) + group.findall(
                 _xs("choice")
             ):
+                _branch_start = len(cols)
                 # nested model groups: treat children like the parent's
                 ctx.restrictions.append(
                     f"{table}: nested model group under {prefix or 'row'} "
@@ -550,6 +566,10 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
                               in_choice or sub.tag == _xs("choice"), table,
                               steps)
+                if group_tag == "choice":
+                    names = [c.name for c in cols[_branch_start:]]
+                    if names:
+                        branches.append(names)
             for gref in group.findall(_xs("group")):
                 # xs:group ref inside a model group: inline in place
                 ref = gref.get("ref")
@@ -563,6 +583,26 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                         fake.append(sub)
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
                               child_in_choice, table, steps)
+            if group_tag == "choice" and len(branches) >= 2:
+                present = [
+                    "(" + " OR ".join(f"{c} IS NOT NULL" for c in b) + ")"
+                    for b in branches
+                ]
+                expr = (
+                    "("
+                    + " + ".join(
+                        f"(CASE WHEN {p} THEN 1 ELSE 0 END)"
+                        for p in present
+                    )
+                    + ") <= 1"
+                )
+                ctx.assertions.setdefault(table, []).append(
+                    S.RowAssertion(
+                        f"choice-{table}-{prefix or 'row'}-"
+                        f"{len(ctx.assertions.get(table, ()))}",
+                        expr,
+                    )
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -887,6 +927,7 @@ def compile_xsd(
         # children DO have their own tables — nothing is being skipped)
         n_restr = len(ctx.restrictions)
         prev_skipped = set(ctx.skipped.get(gname, ()))
+        n_asserts = len(ctx.assertions.get(gname, ()))
         _flatten_type(gpayload, ctx, "", dcols, duniq, scope_col,
                       in_choice=False, table=gname)
         if not dcols:
@@ -895,6 +936,8 @@ def compile_xsd(
                 ctx.skipped[gname] = prev_skipped
             else:
                 ctx.skipped.pop(gname, None)
+            if gname in ctx.assertions:
+                del ctx.assertions[gname][n_asserts:]
             continue
         doc_rows.add(gname)
         tables[gname] = dcols
@@ -995,6 +1038,7 @@ def compile_xsd(
             ),
             identities=tuple(per_table_idents[name]),
             model=tuple(table_model[name]),
+            row_assertions=tuple(ctx.assertions.get(name, ())),
         )
         for name in tables
     }

@@ -18,6 +18,9 @@ CB = "/root/reference/tests/test_cases/examples/collection"
 IB = "/root/reference/tests/test_cases/issues"
 
 CASES = [
+    # issue_008: both xs:choice branches present -> one mutual-exclusion
+    # violation (compiled choice RowAssertion)
+    (f"{IB}/issue_008/issue_008.xml", f"{IB}/issue_008/issue_008.xsd", 1),
     # (instance, schema, expected errors) — straight from testfiles
     # issue_026: repeated <xs:sequence maxOccurs="unbounded"> makes bar a
     # row element; -2 violates fixed="BAR", -3 misses the required attr
