@@ -30,6 +30,16 @@ CASES = [
     # issue_028: pure-singleton document (xs:all of two required fields)
     (f"{IB}/issue_028/issue_028-1.xml", f"{IB}/issue_028/issue_028.xsd", 0),
     (f"{IB}/issue_028/issue_028-2.xml", f"{IB}/issue_028/issue_028.xsd", 1),
+    # issue_029: sequence of two required singletons; -2 (fully empty
+    # document) is NOT claimed: the reference emits one combined
+    # content-not-complete error where the flat model reports one Required
+    # violation per missing field (granularity difference, count 2 vs 1)
+    (f"{IB}/issue_029/issue_029-1.xml", f"{IB}/issue_029/issue_029.xsd", 0),
+    (f"{IB}/issue_029/issue_029-3.xml", f"{IB}/issue_029/issue_029.xsd", 1),
+    # issue_035: xs:int lexical on a row field
+    (f"{IB}/issue_035/dates.xml", f"{IB}/issue_035/dates.xsd", 1),
+    (f"{IB}/issue_073/issue_073-1.xml", f"{IB}/issue_073/issue_073.xsd", 0),
+    (f"{IB}/issue_073/issue_073-2.xml", f"{IB}/issue_073/issue_073.xsd", 1),
     (f"{VB}/vehicles.xml", f"{VB}/vehicles.xsd", 0),
     (f"{VB}/vehicles-1_error.xml", f"{VB}/vehicles.xsd", 1),
     (f"{VB}/vehicles-2_errors.xml", f"{VB}/vehicles.xsd", 2),
