@@ -51,19 +51,31 @@ from sissaschool_xmlschema_spark.xsd_compile import CompiledXsd, compile_xsd
 
 
 def sniff_prefix(path: str, local_root: str) -> str:
-    """Namespace prefix of ``local_root`` in the document head ('vh:' or '').
+    """Namespace prefix of ``local_root`` in the document ('vh:' or '').
 
-    Driver-side peek at the first 8 KiB — instance prefixes are arbitrary
-    (the same schema validates ``vh:cars`` and unprefixed documents), and
-    Spark XML matches rowTag literally.
+    Driver-side peek — instance prefixes are arbitrary (the same schema
+    validates ``vh:cars`` and unprefixed documents), and Spark XML matches
+    rowTag literally.  Streams the file in 64 KiB chunks until the first
+    occurrence of the element start tag is found (a long comment/DOCTYPE
+    prolog must not defeat the sniff — a fixed-size head read silently
+    falls back to no prefix and the rowTag never matches).
     """
+    pat = re.compile(
+        rf"<(?:([A-Za-z_][\w.-]*):)?{re.escape(local_root)}[\s>/]"
+    )
+    tail = ""
     with open(path, "rb") as f:
-        head = f.read(8192).decode("utf-8", "replace")
-    m = re.search(rf"<(?:([A-Za-z_][\w.-]*):)?{re.escape(local_root)}[\s>/]",
-                  head)
-    if not m:
-        return ""
-    return f"{m.group(1)}:" if m.group(1) else ""
+        while True:
+            chunk = f.read(65536)
+            if not chunk:
+                return ""
+            head = tail + chunk.decode("utf-8", "replace")
+            m = pat.search(head)
+            if m:
+                return f"{m.group(1)}:" if m.group(1) else ""
+            # keep enough overlap that a tag split across the chunk
+            # boundary still matches on the next iteration
+            tail = head[-(len(local_root) + 64):]
 
 
 def _local_of(field_name: str) -> tuple:
@@ -270,8 +282,9 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         rtype = rows.schema["_row"].dataType
         if isinstance(rtype, T.StructType):
             for sf in rtype.fields:
-                if sf.name == "_VALUE" or sf.name.startswith("_xmlns"):
-                    continue
+                if sf.name == "_VALUE" or sf.name.startswith("_xmlns") \
+                        or sf.name.startswith("_xsi:"):
+                    continue  # xsi:nil/type machinery, same as _TableReader
                 local, _ = _local_of(sf.name)
                 parts.append(
                     rows.filter(
@@ -397,6 +410,15 @@ def validate_xml_instance(
                 )
             )
 
+    if not parts:
+        # a VALID document whose only row element is optional and absent:
+        # zero violations in the canonical schema (mirrors decode's
+        # empty-fields branch)
+        return spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx bigint, path string, "
+            "constraint_id string, offending_value string, reason string",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -345,10 +345,13 @@ def run_incremental(
         try:
             while time.time() < deadline:
                 prog = q.recentProgress
-                if (
-                    any(p["numInputRows"] > 0 for p in prog)
-                    and len(prog) >= 2
-                    and all(p["numInputRows"] == 0 for p in prog[-2:])
+                # drained: data was seen and the last two ticks were empty —
+                # OR no input exists at all (empty / fully-checkpointed
+                # directory): >=2 consecutive empty reports is the
+                # legitimate no-input drained state, same end state the
+                # availableNow path returns cleanly from
+                if len(prog) >= 2 and all(
+                    p["numInputRows"] == 0 for p in prog[-2:]
                 ):
                     break
                 time.sleep(0.2)

@@ -16,6 +16,28 @@ from sissaschool_xmlschema_spark.functions.xsd_regex import translate_pattern
 ROLE_ENUM = ("system", "user", "assistant", "tool")
 
 
+def _py_regex(xsd_pattern: str):
+    """Compile one XSD pattern for the PYTHON re engine.
+
+    ``translate_pattern`` targets Java (\\p{Nd} for \\d, class subtraction
+    ``[..&&[^..]]``, \\p{InXxx} blocks) — Python's re rejects those.  The
+    oracle rewrites the one soundly-mappable construct (\\p{Nd} → \\d:
+    Python \\d matches Unicode Nd) and otherwise asserts the pattern is in
+    the Python-compatible subset, loudly, instead of raising a bare
+    re.error mid-property-test."""
+    translated = translate_pattern(xsd_pattern)
+    for attempt in (translated, translated.replace(r"\p{Nd}", r"\d")):
+        try:
+            return re.compile(attempt)
+        except re.error:
+            continue
+    raise NotImplementedError(
+        f"pattern {xsd_pattern!r} translates to Java-only regex "
+        f"{translated!r}; the pandas oracle covers the Python-compatible "
+        "subset only — use a simpler pattern in oracle-checked specs"
+    )
+
+
 def count_violations(pdf: pd.DataFrame, spec: S.TableSpec) -> Dict[str, int]:
     """Violation count per constraint id, mirroring validate()'s semantics."""
     out: Counter = Counter()
@@ -39,8 +61,7 @@ def count_violations(pdf: pd.DataFrame, spec: S.TableSpec) -> Dict[str, int]:
                         out[cid] += 1
                 elif isinstance(facet, S.Pattern):
                     if not any(
-                        re.fullmatch(translate_pattern(p), v)
-                        for p in facet.patterns
+                        _py_regex(p).fullmatch(v) for p in facet.patterns
                     ):
                         out[cid] += 1
                 elif isinstance(facet, S.MinLength):

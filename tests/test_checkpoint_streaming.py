@@ -478,3 +478,22 @@ def test_processing_time_trigger_matches_available_now(spark, tmp_path):
     assert state_pt == state_an
     # the merged counter found the cross-batch duplicate in both modes
     assert state_pt[1] == [("c1", 1, 2)]
+
+
+def test_processing_time_trigger_empty_input_drains(spark, tmp_path):
+    """ADVICE r4: an input directory with zero rows is a legitimate drained
+    state — the processingTime loop must return cleanly (like availableNow)
+    instead of burning the idle timeout and raising TimeoutError."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    src = str(tmp_path / "srcempty")
+    spark.createDataFrame([], schema).repartition(1).write.parquet(
+        src + "/f0.parquet")
+    res = run_incremental(
+        spark, src + "/*", small_spec(), str(tmp_path / "work_e"),
+        schema=schema, processing_time="250 milliseconds",
+        idle_timeout_s=60,
+    )
+    assert res.violations(spark).count() == 0

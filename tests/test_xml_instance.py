@@ -321,3 +321,61 @@ def test_absent_required_row_element(spark, tmp_path):
         ("doc/comment", "occurs:occurs-comment"),
         ("name", "occurs:occurs-name"),
     ]
+
+
+def test_valid_optional_absent_row_element(spark, tmp_path):
+    """ADVICE r4: a VALID document whose only row element is optional and
+    absent must report zero violations, not crash on an empty union."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="cars"><xs:complexType><xs:sequence>
+    <xs:element name="car" minOccurs="0" maxOccurs="unbounded">
+      <xs:complexType>
+        <xs:attribute name="make" type="xs:string" use="required"/>
+      </xs:complexType>
+    </xs:element>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    p = tmp_path / "empty.xml"
+    p.write_text("<cars/>")
+    v = validate_xml_instance(spark, str(p), c)
+    assert v.count() == 0
+    assert v.columns == [
+        "conv_id", "turn_idx", "path", "constraint_id",
+        "offending_value", "reason",
+    ]
+
+
+def test_sniff_prefix_long_prolog(tmp_path):
+    """ADVICE r4: a root element past the first 8 KiB (long comment prolog)
+    must still sniff its prefix."""
+    p = tmp_path / "long.xml"
+    p.write_text(
+        '<?xml version="1.0"?>\n<!-- ' + ("x" * 20000)
+        + ' -->\n<vh:cars xmlns:vh="urn:v"/>'
+    )
+    assert sniff_prefix(str(p), "cars") == "vh:"
+
+
+def test_simple_row_xsi_nil_not_undeclared(spark, tmp_path):
+    """ADVICE r4: xsi:nil on a repeated simple element is schema machinery,
+    not an undeclared attribute (matches _TableReader.walk)."""
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="menu"><xs:complexType><xs:sequence>
+    <xs:element name="dish" type="xs:string" maxOccurs="unbounded"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    p = tmp_path / "nil.xml"
+    p.write_text(
+        '<menu xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+        '<dish>pasta</dish><dish xsi:nil="true"/></menu>'
+    )
+    v = validate_xml_instance(spark, str(p), c)
+    assert v.count() == 0
