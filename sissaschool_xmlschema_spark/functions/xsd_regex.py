@@ -148,8 +148,11 @@ def translate_pattern(pattern: str) -> str:
 
 def anchor(java_pattern: str) -> str:
     """Wrap for full-match semantics (facets.py:755 uses re.fullmatch-style
-    anchoring via translate_pattern)."""
-    return f"^(?:{java_pattern})$"
+    anchoring via translate_pattern).  ``\\A``/``\\z``, not ``^``/``$`` —
+    Java's ``$`` matches BEFORE a final line terminator, so a value with a
+    trailing newline would wrongly satisfy the pattern (issue_223's
+    '38:36:000031\\n' must fail ``\\d{2}:\\d{2}:\\d{6,7}``)."""
+    return f"\\A(?:{java_pattern})\\z"
 
 
 def translate_and_anchor(pattern: str) -> str:

@@ -78,12 +78,55 @@ def sniff_prefix(path: str, local_root: str) -> str:
             tail = head[-(len(local_root) + 64):]
 
 
+def sniff_nsmap(path: str) -> dict:
+    """prefix → namespace-URI map from the document head (first 64 KiB).
+
+    Driver-side peek for wildcard namespace-set checks: inferred field
+    names carry prefixes, the compiled :class:`Wildcard` carries URIs.
+    Documents declaring namespaces deeper than the head are out of the
+    sniff's reach — their wildcard checks fall back to prefix heuristics
+    (an unmapped prefix counts as a foreign namespace)."""
+    with open(path, "rb") as f:
+        head = f.read(65536).decode("utf-8", "replace")
+    nsmap: dict = {}
+    for m in re.finditer(
+        r"""xmlns(?::([A-Za-z_][\w.-]*))?\s*=\s*("([^"]*)"|'([^']*)')""",
+        head,
+    ):
+        nsmap.setdefault(m.group(1) or "", m.group(3) or m.group(4) or "")
+    return nsmap
+
+
 def _local_of(field_name: str) -> tuple:
-    """(step, is_attr) for one inferred field name: attributes carry a
-    leading '_', namespace prefixes are instance-dependent noise."""
+    """(step, is_attr, prefix) for one inferred field name: attributes
+    carry a leading '_', namespace prefixes matter only to wildcards."""
     is_attr = field_name.startswith("_")
-    local = (field_name[1:] if is_attr else field_name).split(":", 1)[-1]
-    return local, is_attr
+    name = field_name[1:] if is_attr else field_name
+    prefix, _, local = name.rpartition(":")
+    return local, is_attr, prefix
+
+
+def _ns_admits(ns_set: str, uri, target_ns: str) -> bool:
+    """One wildcard namespace-set test (wildcards.py:95-164).
+
+    ``uri`` is the instance node's namespace URI ('' = no namespace,
+    None = unresolvable prefix, treated as a foreign namespace)."""
+    if ns_set == "##any":
+        return True
+    if ns_set == "##other":
+        # any namespace other than target, and not absent
+        return uri != "" and uri != target_ns
+    admitted = ns_set.split()
+    if uri is None:
+        return False
+    for tok in admitted:
+        want = (
+            target_ns if tok == "##targetNamespace"
+            else "" if tok == "##local" else tok
+        )
+        if uri == want:
+            return True
+    return False
 
 
 def _viol(name, parent, cid, value, reason):
@@ -99,7 +142,9 @@ def _viol(name, parent, cid, value, reason):
 class _TableReader:
     """Walks one row element's inferred struct against the compiled paths."""
 
-    def __init__(self, name, spec, paths, skipped, parent, doc):
+    def __init__(self, name, spec, paths, skipped, parent, doc,
+                 wildcards=(), mixed=frozenset(), target_ns="",
+                 nsmap=None, globals_=frozenset()):
         self.name, self.spec, self.parent, self.doc = name, spec, parent, doc
         self.paths = {tuple(p): col for col, p in paths.items()}
         self.prefixes = set()
@@ -107,6 +152,11 @@ class _TableReader:
             for i in range(1, len(p)):
                 self.prefixes.add(p[:i])
         self.skipped = {tuple(s) for s in skipped}
+        self.wildcards = tuple(wildcards)
+        self.mixed = frozenset(mixed)
+        self.target_ns = target_ns
+        self.nsmap = nsmap or {}
+        self.globals = frozenset(globals_)
         self.extract: dict = {}
         self.struct_viols: list = []  # (filter_col, select_cols)
 
@@ -117,6 +167,31 @@ class _TableReader:
                   f"{kind.replace('-', ' ')} '{local}' on '{self.name}' "
                   f"({reason_tail})"),
         ))
+
+    def _wildcard_admits(self, path, local, is_attr, prefix) -> bool:
+        """True when a compiled wildcard at ``path`` suppresses the
+        undeclared-content flag for this node (wildcards.py:95-99):
+        skip/lax admit anything in the namespace set; strict additionally
+        requires a matching global declaration (whose content the flat
+        subset then accepts — the per-element strict validation the
+        reference does is out of tabular reach and documented as such)."""
+        if is_attr and not prefix:
+            uri = ""  # unprefixed attributes are in no namespace
+        elif prefix:
+            uri = self.nsmap.get(prefix)  # None = unresolvable, foreign
+        else:
+            uri = self.nsmap.get("", "")
+        kind = "attribute" if is_attr else "element"
+        for w in self.wildcards:
+            if tuple(w.path) != path or w.kind != kind:
+                continue
+            if not _ns_admits(w.ns, uri, self.target_ns):
+                continue
+            if w.process in ("skip", "lax"):
+                return True
+            if local in self.globals:  # strict: declaration required
+                return True
+        return False
 
     def walk(self, stype: T.StructType, base: str, path: tuple) -> None:
         for sf in stype.fields:
@@ -129,6 +204,8 @@ class _TableReader:
                     # simpleContent row element's 'value')
                     self.extract[self.paths[path]] = col.cast("string")
                     continue
+                if path in self.mixed:
+                    continue  # mixed="true": char data is legitimate
                 txt = F.trim(col.cast("string"))
                 self.struct_viols.append((
                     txt.isNotNull() & (txt != ""),
@@ -138,7 +215,7 @@ class _TableReader:
                           "content (cvc-complex-type.2.3)"),
                 ))
                 continue
-            local, is_attr = _local_of(sf.name)
+            local, is_attr, pfx = _local_of(sf.name)
             step = ("@" + local) if is_attr else local
             key = path + (step,)
             if key in self.skipped:
@@ -160,13 +237,14 @@ class _TableReader:
                         if inner == "_VALUE" or inner.startswith("_xmlns") \
                                 or inner.startswith("_xsi:"):
                             continue
-                        il, iattr = _local_of(inner)
+                        il, iattr, ipfx = _local_of(inner)
                         ikey = key + (("@" + il) if iattr else il,)
                         if ikey in self.paths:
                             self.extract[self.paths[ikey]] = (
                                 col.getField(inner).cast("string")
                             )
-                        else:
+                        elif not self._wildcard_admits(key, il, iattr,
+                                                       ipfx):
                             self._flag(
                                 col.getField(inner),
                                 "undeclared-attribute" if iattr
@@ -183,7 +261,7 @@ class _TableReader:
                                "cvc-complex-type.2.4")
                 elif isinstance(dt, T.StructType):
                     self.walk(dt, f"{base}`{sf.name}`.", key)
-            else:
+            elif not self._wildcard_admits(path, local, is_attr, pfx):
                 self._flag(
                     col,
                     "undeclared-attribute" if is_attr
@@ -192,12 +270,18 @@ class _TableReader:
                 )
 
 
-def _read_container(spark: SparkSession, path: str, row_tag: str) -> DataFrame:
+def _read_container(
+    spark: SparkSession, path: str, row_tag: str,
+    preserve_space: bool = False,
+) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", row_tag)
-        # keep stray character data visible instead of silently dropping it
-        .option("ignoreSurroundingSpaces", "true")
+        # keep stray character data visible instead of silently dropping
+        # it; preserve_space keeps surrounding whitespace too (document
+        # value of a whiteSpace=preserve simple type — issue_223)
+        .option("ignoreSurroundingSpaces",
+                "false" if preserve_space else "true")
         # structure-only inference: every leaf stays a string so the
         # LEXICAL form survives (typed inference would read '2.0' into a
         # double column and rewrite sibling '1' as '1.0', hiding the
@@ -212,12 +296,25 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
     spec = compiled.specs[name]
     parent = compiled.parent_of.get(name, name)
     pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
-    container = _read_container(spark, xml_path, f"{pfx}{parent}")
+    container = _read_container(
+        spark, xml_path, f"{pfx}{parent}",
+        preserve_space=name in getattr(compiled, "preserve_space",
+                                       frozenset()),
+    )
     fields = {f.name: f for f in container.schema.fields}
     parts: list = []
 
-    # container-level stray character data
-    if "_VALUE" in fields:
+    # a document-value table's own text IS the declared 'value' column —
+    # everything else treats container _VALUE as stray char data
+    has_own_text = () in {
+        tuple(p) for p in compiled.column_paths.get(name, {}).values()
+    }
+
+    # container-level stray character data (legitimate when the container's
+    # type is mixed="true" — complex_types.py:35)
+    if "_VALUE" in fields and not has_own_text and parent not in getattr(
+        compiled, "mixed_containers", frozenset()
+    ):
         txt = F.trim(F.col("`_VALUE`").cast("string"))
         parts.append(
             container.filter(txt.isNotNull() & (txt != "")).select(
@@ -234,8 +331,8 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         # compiler's skipped paths); _VALUE was checked container-level
         keep = [
             fn for fn in fields
-            if fn != "_VALUE" and not fn.startswith("_xmlns")
-            and not fn.startswith("_xsi:")
+            if (fn != "_VALUE" or has_own_text)
+            and not fn.startswith("_xmlns") and not fn.startswith("_xsi:")
         ]
         rows = container.select(
             F.struct(*[F.col(f"`{fn}`") for fn in keep]).alias("_row")
@@ -245,7 +342,9 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         # or not (collection's bare <object>): match by local name
         row_field = next(
             (fn for fn in fields
-             if fn != "_VALUE" and _local_of(fn)[0] == name), None
+             if fn != "_VALUE" and not fn.startswith("_xmlns")
+             and not fn.startswith("_xsi:") and _local_of(fn)[0] == name),
+            None,
         )
         if row_field is None:
             # no row elements anywhere in the document: a minOccurs>0 bound
@@ -285,7 +384,7 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
                 if sf.name == "_VALUE" or sf.name.startswith("_xmlns") \
                         or sf.name.startswith("_xsi:"):
                     continue  # xsi:nil/type machinery, same as _TableReader
-                local, _ = _local_of(sf.name)
+                local, _, _pfx = _local_of(sf.name)
                 parts.append(
                     rows.filter(
                         F.col(f"_row.`{sf.name}`").isNotNull()
@@ -315,6 +414,11 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         compiled.column_paths.get(name, {}),
         compiled.skipped_paths.get(name, ()),
         parent, doc,
+        wildcards=getattr(compiled, "wildcards", {}).get(name, ()),
+        mixed=getattr(compiled, "mixed_paths", {}).get(name, frozenset()),
+        target_ns=getattr(compiled, "target_namespace", ""),
+        nsmap=sniff_nsmap(xml_path),
+        globals_=getattr(compiled, "global_elements", frozenset()),
     )
     rdr.walk(rows.schema["_row"].dataType, "_row.", ())
 
@@ -403,10 +507,26 @@ def validate_xml_instance(
     # cross-table keyrefs (identities.py:317-334 refer_path analogue)
     for ext in compiled.external_keyrefs:
         if ext.table in flats and ext.key_table in flats:
+            keys_df = flats[ext.key_table]
+            if getattr(ext, "last_wins", False):
+                # key declared ON a single element: upward propagation is
+                # last-sibling-override (collection3bis) — only the final
+                # occurrence per document scope is a visible key
+                from pyspark.sql import Window
+
+                spec_k = compiled.specs[ext.key_table]
+                w = Window.partitionBy(spec_k.scope_col).orderBy(
+                    F.col(spec_k.order_col).desc()
+                )
+                keys_df = (
+                    keys_df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
             parts.append(
                 keyref_violations(
                     flats[ext.table], ext.keyref, ext.table,
-                    keys_df=flats[ext.key_table],
+                    keys_df=keys_df,
                 )
             )
 

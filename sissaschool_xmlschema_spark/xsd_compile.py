@@ -28,13 +28,19 @@ Supported subset (everything a tabular corpus can express):
   selector/field XPaths resolved against the row element and flattened to
   column names; a keyref whose key lives on a different row element becomes
   an :class:`ExternalKeyref` (cross-table broadcast/hash join form);
-* ``xs:ID`` attributes get a per-document Unique (the xs:ID uniqueness rule).
+* ``xs:ID`` attributes get a per-document Unique (the xs:ID uniqueness rule);
+* ``xs:any`` / ``xs:anyAttribute`` / XSD 1.1 ``xs:openContent``
+  (wildcards.py:33-164; groups.py:425-431) compile to :class:`Wildcard`
+  markers — namespace set + processContents — that gate the instance
+  reader's undeclared-content flags;
+* ``mixed="true"`` (complex_types.py:35) marks its path so char data among
+  element children is admitted.
 
 Deliberately out of scope (recorded in ``CompiledXsd.restrictions``, never
 silently dropped): repeated SIMPLE children inside a row (no flat column),
-nested repeated groups below a row element, substitution groups in the
+nested repeated groups below a row element, and substitution groups in the
 document structure (the engine models them as enumerations —
-operators/substitution.py), and mixed content.
+operators/substitution.py).
 """
 
 from __future__ import annotations
@@ -64,6 +70,21 @@ class XsdCompileError(ValueError):
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """One compiled ``xs:any`` / ``xs:anyAttribute`` / ``xs:openContent``
+    marker (reference wildcards.py:33-164): open content admitted at
+    ``path`` inside a row element.  ``ns`` is the raw namespace set
+    (``##any`` / ``##other`` / a space-separated list possibly containing
+    ``##targetNamespace`` / ``##local``); ``process`` is the
+    processContents mode (strict/lax/skip, wildcards.py:95-99)."""
+
+    path: tuple  # steps relative to the row element ('' level = ())
+    kind: str  # 'element' | 'attribute'
+    ns: str
+    process: str
+
+
+@dataclass(frozen=True)
 class ExternalKeyref:
     """A keyref whose referenced key lives on a DIFFERENT row element — the
     cross-table form executed via ``identity.keyref_violations(..., keys_df=
@@ -73,6 +94,11 @@ class ExternalKeyref:
     table: str  # referencing row element
     key_table: str  # row element holding the referred key
     key_selector_cols: tuple  # flattened key field columns on key_table
+    # the referred key was declared ON a single element (selector '.'):
+    # the reference resolves it with last-sibling-override upward
+    # propagation (identities.py; collection3bis) — only the LAST key
+    # element per document scope is visible to the keyref
+    last_wins: bool = False
 
 
 @dataclass
@@ -99,6 +125,24 @@ class CompiledXsd:
     # document-singleton tables: one row per document holding a global
     # element's own non-repeated fields (the element IS the row)
     doc_rows: frozenset = frozenset()
+    # table -> tuple of Wildcard markers (xs:any / xs:anyAttribute /
+    # xs:openContent): open content the instance reader must NOT flag as
+    # undeclared (skip/lax suppress; strict still requires a declaration)
+    wildcards: dict = field(default_factory=dict)
+    # table -> frozenset of path tuples whose complexType is mixed="true"
+    # (char data admitted; () = the row element's own level)
+    mixed_paths: dict = field(default_factory=dict)
+    # global element names whose type is mixed (container-level char data)
+    mixed_containers: frozenset = frozenset()
+    # schema targetNamespace ('' = no namespace): the ##other/##target
+    # reference point for wildcard namespace sets
+    target_namespace: str = ""
+    # global xs:element declaration names: what processContents="strict"
+    # wildcard content resolves against
+    global_elements: frozenset = frozenset()
+    # document-value tables whose simple type is whiteSpace=preserve: the
+    # instance reader keeps surrounding space for these
+    preserve_space: frozenset = frozenset()
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -146,6 +190,10 @@ class _Ctx:
     # table -> list of RowAssertions compiled from xs:choice groups
     # (mutual-exclusion of branches)
     assertions: dict = field(default_factory=dict)
+    # table -> list of Wildcard markers (xs:any/xs:anyAttribute/openContent)
+    wildcards: dict = field(default_factory=dict)
+    # table -> set of path tuples with mixed="true" content
+    mixed: dict = field(default_factory=dict)
 
 
 def _local(qname: Optional[str]) -> str:
@@ -359,7 +407,7 @@ def _max_occurs(el: ET.Element) -> Optional[int]:
 
 def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
                         cols: list, uniques: list, scope_col: str,
-                        steps: tuple = ()) -> None:
+                        steps: tuple = (), table: str = "") -> None:
     # named attribute groups (attributes.py XsdAttributeGroup): inline the
     # referenced group's attributes (which may nest further group refs)
     for agref in ct.findall(_xs("attributeGroup")):
@@ -367,7 +415,16 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
         ag = ctx.attr_groups.get(_local(ref)) if ref else agref
         if ag is None:
             raise XsdCompileError(f"unresolved attributeGroup ref {ref!r}")
-        _flatten_attributes(ag, ctx, prefix, cols, uniques, scope_col, steps)
+        _flatten_attributes(ag, ctx, prefix, cols, uniques, scope_col, steps,
+                            table)
+    # xs:anyAttribute (wildcards.py:33-164): open attribute content at this
+    # level — recorded as a marker so the instance reader can gate its
+    # undeclared-attribute flags (never silently dropped)
+    for aw in ct.findall(_xs("anyAttribute")):
+        ctx.wildcards.setdefault(table, []).append(
+            Wildcard(steps, "attribute", aw.get("namespace", "##any"),
+                     aw.get("processContents", "strict"))
+        )
     for attr in ct.findall(_xs("attribute")):
         aname = attr.get("name") or _local(attr.get("ref"))
         name = prefix + aname
@@ -400,6 +457,16 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   uniques: list, scope_col: str, in_choice: bool,
                   table: str, steps: tuple = ()) -> None:
     """Flatten one complexType's attributes + content into columns."""
+    # mixed="true" (complex_types.py:35): char data admitted among the
+    # element children — recorded per path so the instance reader gates its
+    # char-data check (on the complexType, or overriding on complexContent)
+    cc_node = ct.find(_xs("complexContent"))
+    mixed_attr = (
+        cc_node.get("mixed") if cc_node is not None
+        and cc_node.get("mixed") is not None else ct.get("mixed")
+    )
+    if mixed_attr == "true":
+        ctx.mixed.setdefault(table, set()).add(steps)
     # complexContent extension/restriction (complex_types.py derivation):
     # extension = base's content + attributes FOLLOWED BY the derived
     # additions; restriction = the restricted content REPLACES the base's
@@ -424,7 +491,7 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 # restriction: content comes from the derived node only;
                 # the base contributes attributes (they are inherited)
                 _flatten_attributes(base_ct, ctx, prefix, cols, uniques,
-                                    scope_col, steps)
+                                    scope_col, steps, table)
             _flatten_type_body(deriv, ctx, prefix, cols, uniques, scope_col,
                                in_choice, table, steps)
             # a restriction (or malformed extension) redeclares base
@@ -452,10 +519,63 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
         # element's own path) + <elem>_<attr> columns.
         ext = sc.find(_xs("extension"))
         if ext is None:
-            ctx.restrictions.append(
-                f"{table}: simpleContent restriction under "
-                f"{prefix or 'row'} is outside the flat subset (skipped)"
-            )
+            # simpleContent RESTRICTION (complex_types.py simple-content
+            # derivation; issue_013): the base complexType contributes the
+            # text column + attributes, the restriction's facet children
+            # narrow the text, its attribute declarations override
+            restr = sc.find(_xs("restriction"))
+            if restr is None:
+                ctx.restrictions.append(
+                    f"{table}: simpleContent without extension/restriction "
+                    f"under {prefix or 'row'} (skipped)"
+                )
+                return
+            base = restr.get("base")
+            base_local = _local(base) if base else ""
+            vname = prefix[:-1] if prefix else "value"
+            if base_local in ctx.complex_types:
+                _flatten_type(ctx.complex_types[base_local], ctx, prefix,
+                              cols, uniques, scope_col, in_choice, table,
+                              steps)
+            elif base and (
+                _is_builtin(base, ctx) or base_local in ctx.simple_types
+            ):
+                cols.append(
+                    _Column(vname, list(_compile_simple(base, ctx, prefix)),
+                            path=steps)
+                )
+            else:
+                ctx.restrictions.append(
+                    f"{table}: simpleContent restriction of unresolved "
+                    f"base {base!r} (skipped)"
+                )
+                return
+            # the restriction step's facet children narrow the TEXT column
+            fake = ET.Element(_xs("simpleType"))
+            fr = ET.SubElement(fake, _xs("restriction"))
+            for child in restr:
+                tag = child.tag.split("}")[-1]
+                if tag not in ("attribute", "attributeGroup",
+                               "anyAttribute", "annotation", "assert",
+                               "simpleType"):
+                    fr.append(child)
+            extra = _compile_simple(fake, ctx, prefix)
+            vcol = next((c for c in cols if c.name == vname), None)
+            if vcol is not None:
+                vcol.facets.extend(extra)
+            else:
+                cols.append(_Column(vname, list(extra), path=steps))
+            _flatten_attributes(restr, ctx, prefix, cols, uniques,
+                                scope_col, steps, table)
+            # a redeclared attribute narrows the base's: derived wins
+            seen: dict = {}
+            for i, c in enumerate(cols):
+                if c.name in seen:
+                    cols[seen[c.name]] = c
+                    cols[i] = None
+                else:
+                    seen[c.name] = i
+            cols[:] = [c for c in cols if c is not None]
             return
         base = ext.get("base")
         facets: list = []
@@ -469,7 +589,7 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             _Column(prefix[:-1] if prefix else "value", facets, path=steps)
         )
         _flatten_attributes(ext, ctx, prefix, cols, uniques, scope_col,
-                            steps)
+                            steps, table)
         return
     _flatten_type_body(ct, ctx, prefix, cols, uniques, scope_col,
                        in_choice, table, steps)
@@ -479,7 +599,24 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                        uniques: list, scope_col: str, in_choice: bool,
                        table: str, steps: tuple = ()) -> None:
     """Attributes + model groups of one complexType/derivation node."""
-    _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps)
+    _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps,
+                        table)
+    # XSD 1.1 xs:openContent (groups.py:425-431): interleave/suffix admit
+    # wildcard content anywhere in this level's model — same marker as
+    # xs:any; mode="none" disables inherited open content (no marker)
+    for oc in ct.findall(_xs("openContent")):
+        if oc.get("mode", "interleave") == "none":
+            continue
+        oc_any = oc.find(_xs("any"))
+        ctx.wildcards.setdefault(table, []).append(
+            Wildcard(
+                steps, "element",
+                oc_any.get("namespace", "##any") if oc_any is not None
+                else "##any",
+                oc_any.get("processContents", "lax") if oc_any is not None
+                else "lax",
+            )
+        )
     # named model groups (xs:group ref, groups.py XsdGroup): inline the
     # referenced group's own sequence/all/choice as if declared in place
     for gref in ct.findall(_xs("group")):
@@ -507,6 +644,24 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             # they belong in their own tables, not in this row's columns
             gmax_attr = group.get("maxOccurs", "1")
             g_repeat = gmax_attr == "unbounded" or int(gmax_attr) > 1
+            # xs:any (wildcards.py:33-164): open element content at this
+            # level — marker for the instance reader, never silently dropped
+            for anynode in group.findall(_xs("any")):
+                ctx.wildcards.setdefault(table, []).append(
+                    Wildcard(steps, "element",
+                             anynode.get("namespace", "##any"),
+                             anynode.get("processContents", "strict"))
+                )
+            # no-silent-drop sweep: any group child outside the handled set
+            # lands in restrictions (the module contract, never dropped)
+            for child in group:
+                ctag = child.tag.split("}")[-1]
+                if ctag not in ("element", "sequence", "choice", "all",
+                                "group", "any", "annotation"):
+                    ctx.restrictions.append(
+                        f"{table}: unsupported model-group child xs:{ctag} "
+                        f"under {prefix or 'row'} (skipped)"
+                    )
             for el in group.findall(_xs("element")):
                 _branch_start = len(cols)
                 decl = _resolve_element(el, ctx)
@@ -552,8 +707,10 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                     names = [c.name for c in cols[_branch_start:]]
                     if names:
                         branches.append(names)
-            for sub in group.findall(_xs("sequence")) + group.findall(
-                _xs("choice")
+            for sub in (
+                group.findall(_xs("sequence"))
+                + group.findall(_xs("choice"))
+                + group.findall(_xs("all"))
             ):
                 _branch_start = len(cols)
                 # nested model groups: treat children like the parent's
@@ -603,6 +760,17 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                         expr,
                     )
                 )
+    # no-silent-drop sweep over the complexType/derivation node itself:
+    # any direct child outside the handled set lands in restrictions
+    for child in ct:
+        ctag = child.tag.split("}")[-1]
+        if ctag not in ("annotation", "attribute", "attributeGroup",
+                        "anyAttribute", "openContent", "group", "sequence",
+                        "all", "choice", "simpleContent", "complexContent"):
+            ctx.restrictions.append(
+                f"{table}: unsupported complexType child xs:{ctag} under "
+                f"{prefix or 'row'} (skipped)"
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -854,6 +1022,9 @@ def compile_xsd(
             gmax_attr = group.get("maxOccurs", "1")
             gmax = None if gmax_attr == "unbounded" else int(gmax_attr)
             gmin = int(group.get("minOccurs", "1"))
+            # a CHOICE picks one branch per repetition: each child's
+            # effective minimum is 0 (models.py choice semantics)
+            is_choice = group.tag == _xs("choice")
             for el in group.findall(_xs("element")):
                 decl = _resolve_element(el, ctx)
                 max_occ = _max_occurs(el)
@@ -861,7 +1032,10 @@ def compile_xsd(
                     None if (max_occ is None or gmax is None)
                     else max_occ * gmax
                 )
-                eff_min = int(el.get("minOccurs", "1")) * gmin
+                eff_min = (
+                    0 if is_choice
+                    else int(el.get("minOccurs", "1")) * gmin
+                )
                 if eff_max is not None and eff_max <= 1:
                     continue
                 kind, payload = _element_type(decl, ctx)
@@ -928,6 +1102,8 @@ def compile_xsd(
         n_restr = len(ctx.restrictions)
         prev_skipped = set(ctx.skipped.get(gname, ()))
         n_asserts = len(ctx.assertions.get(gname, ()))
+        n_wild = len(ctx.wildcards.get(gname, ()))
+        prev_mixed = set(ctx.mixed.get(gname, ()))
         _flatten_type(gpayload, ctx, "", dcols, duniq, scope_col,
                       in_choice=False, table=gname)
         if not dcols:
@@ -938,6 +1114,14 @@ def compile_xsd(
                 ctx.skipped.pop(gname, None)
             if gname in ctx.assertions:
                 del ctx.assertions[gname][n_asserts:]
+            if gname in ctx.wildcards:
+                del ctx.wildcards[gname][n_wild:]
+                if not ctx.wildcards[gname]:
+                    del ctx.wildcards[gname]
+            if prev_mixed:
+                ctx.mixed[gname] = prev_mixed
+            else:
+                ctx.mixed.pop(gname, None)
             continue
         doc_rows.add(gname)
         tables[gname] = dcols
@@ -952,7 +1136,7 @@ def compile_xsd(
     pending_keyrefs: list = []
     seen_constraints: set = set()
 
-    def walk_constraints(el: ET.Element):
+    def walk_constraints(el: ET.Element, host: Optional[str] = None):
         for tag, cls in (("unique", S.Unique), ("key", S.Key),
                          ("keyref", S.Keyref)):
             for node in el.findall(_xs(tag)):
@@ -969,11 +1153,21 @@ def compile_xsd(
                 # locate the row element along the selector path
                 table = None
                 rest: list = []
+                last_wins = False
                 for i, t in enumerate(sel_tokens):
                     if t in tables:
                         table = t
                         rest = sel_tokens[i + 1:]
                         break
+                if table is None and host in tables:
+                    # constraint declared ON a row element itself
+                    # (selector '.' — collection3bis): each element is its
+                    # own scope; the reference propagates the key upward
+                    # with last-sibling-override, so only the LAST
+                    # occurrence per document is visible to outer keyrefs
+                    table = host
+                    rest = sel_tokens
+                    last_wins = True
                 if table is None:
                     ctx.restrictions.append(
                         f"identity {node.get('name')!r}: selector {sel!r} "
@@ -994,18 +1188,28 @@ def compile_xsd(
                 if tag == "keyref":
                     pending_keyrefs.append((node.get("name"), table, cols,
                                             _local(node.get("refer"))))
+                elif last_wins:
+                    # single-element scope: per-document uniqueness does
+                    # NOT apply (duplicate sibling keys are legal — the
+                    # later one overrides); record for keyref resolution
+                    keys_by_name[node.get("name")] = (table, cols, True)
                 else:
                     per_table_idents[table].append(
                         cls(node.get("name"), fields=cols, scope=scope_col)
                     )
-                    keys_by_name[node.get("name")] = (table, cols)
+                    keys_by_name[node.get("name")] = (table, cols, False)
         for child in el:
-            if child.tag in (_xs("complexType"), _xs("sequence"),
-                             _xs("all"), _xs("choice"), _xs("element")):
-                walk_constraints(child)
+            if child.tag == _xs("element"):
+                decl = child if child.get("name") else _resolve_element(
+                    child, ctx
+                )
+                walk_constraints(child, host=decl.get("name"))
+            elif child.tag in (_xs("complexType"), _xs("sequence"),
+                               _xs("all"), _xs("choice")):
+                walk_constraints(child, host=host)
 
-    for gel in ctx.elements.values():
-        walk_constraints(gel)
+    for gname, gel in ctx.elements.items():
+        walk_constraints(gel, host=gname)
     for ct in ctx.complex_types.values():
         walk_constraints(ct)
 
@@ -1016,16 +1220,17 @@ def compile_xsd(
                 f"keyref {name!r}: refers to unknown key {refer!r} (skipped)"
             )
             continue
-        key_table, key_cols = keys_by_name[refer]
+        key_table, key_cols, last_wins = keys_by_name[refer]
         kr = S.Keyref(
             name, fields=cols, refer_fields=key_cols, scope=scope_col
         )
-        if key_table == table:
+        if key_table == table and not last_wins:
             per_table_idents[table].append(kr)
         else:
             external.append(
                 ExternalKeyref(kr, table=table, key_table=key_table,
-                               key_selector_cols=key_cols)
+                               key_selector_cols=key_cols,
+                               last_wins=last_wins)
             )
 
     specs = {
@@ -1077,6 +1282,35 @@ def compile_xsd(
         parent_of[name] = gel.get("name")
         column_paths[name] = {"value": ()}
 
+    # global SIMPLE-typed elements as document-value tables (issue_223's
+    # shape: the root element IS one simple value).  Only when nothing else
+    # was detected — a schema with real row tables keeps auxiliary global
+    # simple declarations as declarations, not tables.
+    preserve_space: set = set()
+    if not specs:
+        for gname, gel in ctx.elements.items():
+            kind, payload = _element_type(gel, ctx)
+            if kind != "simple":
+                continue
+            facets = tuple(payload)
+            specs[gname] = S.TableSpec(
+                name=gname,
+                scope_col=scope_col,
+                order_col=order_col,
+                columns=(S.ColumnSpec("value", facets),),
+            )
+            doc_rows.add(gname)
+            parent_of[gname] = gname
+            column_paths[gname] = {"value": ()}
+            # whiteSpace preserve (no collapse/replace facet, no non-string
+            # builtin): the instance reader must keep surrounding space so
+            # facet checks see the raw lexical value (issue_223's trailing
+            # newline defeats its pattern)
+            if not any(
+                isinstance(f, (S.WhiteSpace, S.BuiltinLexical))
+                for f in facets
+            ):
+                preserve_space.add(gname)
     if not specs:
         raise XsdCompileError(
             "no row element: the schema has no repeated complex or simple "
@@ -1096,6 +1330,20 @@ def compile_xsd(
             if e.table in specs and e.key_table in specs
         ]
         doc_rows &= set(specs)
+    # container-level mixed: global elements whose own type admits char
+    # data among element children (gates the container _VALUE check)
+    mixed_containers: set = set()
+    for gname, gel in ctx.elements.items():
+        _k, gpayload = _element_type(gel, ctx)
+        if not isinstance(gpayload, ET.Element):
+            continue
+        gcc = gpayload.find(_xs("complexContent"))
+        m = (
+            gcc.get("mixed") if gcc is not None
+            and gcc.get("mixed") is not None else gpayload.get("mixed")
+        )
+        if m == "true":
+            mixed_containers.add(gname)
     return CompiledXsd(
         specs=specs,
         external_keyrefs=tuple(external),
@@ -1107,6 +1355,16 @@ def compile_xsd(
         },
         simple_rows=frozenset(detected_simple),
         doc_rows=frozenset(doc_rows),
+        wildcards={
+            name: tuple(ctx.wildcards.get(name, ())) for name in specs
+        },
+        mixed_paths={
+            name: frozenset(ctx.mixed.get(name, ())) for name in specs
+        },
+        mixed_containers=frozenset(mixed_containers),
+        target_namespace=root.get("targetNamespace") or "",
+        global_elements=frozenset(ctx.elements),
+        preserve_space=frozenset(preserve_space),
     )
 
 

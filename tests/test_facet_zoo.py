@@ -215,7 +215,7 @@ def test_unsupported_constructs_fail_at_compile_time():
 
 
 def test_anchored_wrapper():
-    assert translate_and_anchor("ab|cd") == "^(?:ab|cd)$"
+    assert translate_and_anchor("ab|cd") == "\\A(?:ab|cd)\\z"
 
 
 def test_compile_time_failures(spark):

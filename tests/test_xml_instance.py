@@ -48,6 +48,23 @@ CASES = [
     (f"{CB}/collection-1_error.xml", f"{CB}/collection.xsd", 1),
     (f"{CB}/collection2.xml", f"{CB}/collection2.xsd", 1),
     (f"{CB}/collection3.xml", f"{CB}/collection3.xsd", 1),
+    # collection3bis: key ON the author element (selector '.') — upward
+    # propagation is last-sibling-override, 'PAR' no longer referable
+    (f"{CB}/collection3bis.xml", f"{CB}/collection3bis.xsd", 1),
+    # issue_013: simpleContent restriction narrows the text (maxLength 30)
+    (f"{IB}/issue_013/issue_013.xml", f"{IB}/issue_013/issue_013-1.xsd", 0),
+    (f"{IB}/issue_013/issue_013-1.xml", f"{IB}/issue_013/issue_013-1.xsd",
+     0),
+    (f"{IB}/issue_013/issue_013-2.xml", f"{IB}/issue_013/issue_013-1.xsd",
+     1),
+    # issue_223: root element IS one simple value (document-value table,
+    # whiteSpace=preserve keeps the trailing newline that defeats the
+    # pattern — \\A..\\z anchoring, not ^..$)
+    (f"{IB}/issue_223/issue_223.xml", f"{IB}/issue_223/issue_223.xsd", 1),
+    # mixed content (features/decoder, testfiles:38-39)
+    ("/root/reference/tests/test_cases/features/decoder/data4-mixed.xml",
+     "/root/reference/tests/test_cases/features/decoder/mixed-content.xsd",
+     0),
 ]
 
 
@@ -110,15 +127,20 @@ def test_cross_table_keyref(spark):
     assert "PARQ" in rows[0]["offending_value"]
 
 
-def test_single_element_key_restriction_is_loud():
+def test_single_element_key_last_wins(spark):
     """collection3bis puts the key ON the author element (selector '.'):
     the reference resolves it with last-sibling-override propagation — the
-    engine records the construct as a restriction instead of silently
-    passing the document."""
+    2nd author's dn ('JM') overrides 'PAR', so the object referencing
+    'PAR' trips the keyref (and duplicate sibling keys are NOT a per-doc
+    uniqueness violation)."""
     c = compile_xsd(f"{CB}/collection3bis.xsd")
-    assert any(
-        "author_dn" in r and "skipped" in r for r in c.restrictions
-    )
+    assert len(c.external_keyrefs) == 1
+    assert c.external_keyrefs[0].last_wins
+    v = validate_xml_instance(spark, f"{CB}/collection3bis.xml", c)
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "keyref:author_dn_ref"
+    assert "PAR" in rows[0]["offending_value"]
 
 
 def test_sniff_prefix():

@@ -260,8 +260,15 @@ def test_assertion_and_explicit_timezone():
 
 
 def test_errors_are_loud():
+    # a lone global SIMPLE element is now a document-value table
+    # (issue_223's shape) — "no row element" needs a truly empty schema
+    c = compile_xsd(wrap('<xs:element name="only" type="xs:string"/>'))
+    assert sorted(c.specs) == ["only"]
+    assert "only" in c.doc_rows
     with pytest.raises(XsdCompileError, match="no row element"):
-        compile_xsd(wrap('<xs:element name="only" type="xs:string"/>'))
+        compile_xsd(wrap('<xs:simpleType name="t">'
+                         '<xs:restriction base="xs:string"/>'
+                         "</xs:simpleType>"))
     with pytest.raises(XsdCompileError, match="unresolved simpleType"):
         compile_xsd(wrap("""
           <xs:element name="root"><xs:complexType><xs:sequence>
@@ -572,7 +579,9 @@ def test_simple_content_extension_flattens():
     assert c.column_paths["row"]["price_currency"] == ("price", "@currency")
 
 
-def test_simple_content_restriction_is_loud():
+def test_simple_content_restriction_compiles():
+    """simpleContent RESTRICTION narrows the text column (issue_013's
+    shape): base facets first, the restriction step's facets appended."""
     src = wrap("""
       <xs:element name="doc"><xs:complexType><xs:sequence>
         <xs:element name="row" maxOccurs="unbounded">
@@ -589,7 +598,30 @@ def test_simple_content_restriction_is_loud():
       </xs:sequence></xs:complexType></xs:element>
     """)
     c = compile_xsd(src)
-    assert any("simpleContent" in r for r in c.restrictions)
+    assert not any("simpleContent" in r for r in c.restrictions)
+    by = {col.name: col for col in c.spec("row").columns}
+    assert any(
+        isinstance(f, S.MaxLength) and f.value == 3 for f in by["x"].facets
+    )
+
+
+def test_simple_content_restriction_of_complex_base():
+    """issue_013-1.xsd: restriction of a complexType base keeps the base's
+    attribute declarations and narrows the text."""
+    c = compile_xsd(
+        "/root/reference/tests/test_cases/issues/issue_013/issue_013.xsd"
+    )
+    sp = c.spec("LegalType")
+    by = {col.name: col for col in sp.columns}
+    assert set(by) == {"value", "_Id"}
+    assert any(
+        isinstance(f, S.MaxLength) and f.value == 30
+        for f in by["value"].facets
+    )
+    assert any(isinstance(f, S.Required) for f in by["_Id"].facets)
+    assert any(
+        isinstance(f, S.MaxLength) and f.value == 10 for f in by["_Id"].facets
+    )
 
 
 def test_row_detection_through_complex_content():
