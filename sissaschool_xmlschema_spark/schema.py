@@ -126,3 +126,20 @@ class SparkSchema:
         )
 
         return xml_instance_tables(spark, xml_path, self._require_xsd())
+
+    # --- schema-document meta-validation (the 'is the XSD itself valid?'
+    # channel; the reference reports these through the same error stream,
+    # XMLSchema(..., validation='lax')) ----------------------------------
+
+    @staticmethod
+    def check_schema(source, version: str = "1.0", base_dir=None) -> tuple:
+        """Schema-document errors for ``source`` — the testfiles
+        ``--errors=N`` channel for INVALID XSD documents.  Returns a tuple
+        of :class:`~sissaschool_xmlschema_spark.xsd_meta.SchemaError`;
+        empty means the document passes every implemented check family."""
+        from sissaschool_xmlschema_spark.xsd_meta import (
+            validate_schema_document,
+        )
+
+        return validate_schema_document(source, version=version,
+                                        base_dir=base_dir)
