@@ -1405,6 +1405,56 @@ def q_xsd_frontdoor(spark, sf_dir):
     )
 
 
+# deterministic synthetic "open content" columns shared VERBATIM by the
+# Spark query and the DuckDB oracle: a namespace URI and a local name per
+# turn (5 namespaces x 3 locals keyed on turn_idx)
+_EXT_NS = """CASE ((turn_idx % 5) + 5) % 5
+  WHEN 0 THEN 'urn:t' WHEN 1 THEN '' WHEN 2 THEN 'urn:a'
+  WHEN 3 THEN 'urn:b' ELSE 'urn:c' END"""
+_EXT_NAME = """CASE ((turn_idx % 3) + 3) % 3
+  WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END"""
+
+
+def q_wildcard_ns_strict(spark, sf_dir):
+    """##other-with-strict wildcard semantics as ROW-LOCAL facets over a
+    derived namespace column — the tabular lowering of the compiled
+    Wildcard markers (xsd_compile.Wildcard; reference wildcards.py:95-164):
+
+    * the namespace set (##other against target 'urn:t') lowers to a
+      NotInSet facet on ext_ns — content in the target namespace or in no
+      namespace is NOT admitted by ##other and is undeclared;
+    * processContents='strict' lowers to a RowAssertion requiring a
+      matching global declaration (ext_name in the compiled
+      global_elements set) for content the namespace set DOES admit.
+
+    Pure whole-stage-codegen predicates, one groupBy — no Python."""
+    spec = S.TableSpec(
+        name="open_content", scope_col="conv_id", order_col="turn_idx",
+        columns=(
+            S.ColumnSpec("ext_ns", (S.NotInSet(values=("", "urn:t")),)),
+            S.ColumnSpec("ext_name", ()),
+        ),
+        row_assertions=(
+            S.RowAssertion(
+                "strict-declared",
+                "(ext_ns IN ('', 'urn:t')) OR "
+                "ext_name IN ('alpha', 'beta')",
+                reason="processContents=strict requires a matching global "
+                       "declaration for admitted wildcard content",
+            ),
+        ),
+    )
+    t = _t(spark, sf_dir).selectExpr(
+        "conv_id", "turn_idx",
+        f"({_EXT_NS}) AS ext_ns",
+        f"({_EXT_NAME}) AS ext_name",
+    )
+    res = validate(t, spec)
+    return res.violations.groupBy("constraint_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 # deterministic lexical-form constructions shared VERBATIM by the Spark
 # query (selectExpr) and the DuckDB oracle — valid and invalid duration /
 # calendar / time lexicals keyed on turn_idx
@@ -1741,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalized": q_text_normalized,
         "xsd_frontdoor": q_xsd_frontdoor,
         "builtin_lexicals": q_builtin_lexicals,
+        "wildcard_ns_strict": q_wildcard_ns_strict,
     }
 
 
@@ -3381,6 +3432,25 @@ viol AS (
   )
   UNION ALL
   SELECT 'key:turn-key:missing-field' FROM t WHERE turn_idx IS NULL
+)
+SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM viol GROUP BY constraint_id
+"""
+
+    sql["wildcard_ns_strict"] = f"""
+WITH t AS ({_CTE}),
+d AS (
+  SELECT conv_id, turn_idx,
+         ({_EXT_NS}) AS ext_ns,
+         ({_EXT_NAME}) AS ext_name
+  FROM t),
+viol AS (
+  SELECT 'facet:ext_ns:NotInSet' AS constraint_id FROM d
+  WHERE ext_ns IN ('', 'urn:t')
+  UNION ALL
+  SELECT 'assert:strict-declared' FROM d
+  WHERE NOT ((ext_ns IN ('', 'urn:t'))
+             OR ext_name IN ('alpha', 'beta'))
 )
 SELECT constraint_id, CAST(COUNT(*) AS BIGINT) AS n
 FROM viol GROUP BY constraint_id

@@ -471,6 +471,36 @@ def xml_instance_tables(
     return out
 
 
+def land_xml_to_parquet(
+    spark: SparkSession,
+    xml_path: str,
+    xsd_source,
+    out_dir: str,
+    prefix: Optional[str] = None,
+    base_dir: Optional[str] = None,
+) -> dict:
+    """Land an instance's flat tables as parquet: ``{row element: path}``.
+
+    The production recipe for multi-GB instances (module docstring): decode
+    once with the XML reader, land each row-element table columnar, then
+    validate TABULARLY — ``validate(spark.read.parquet(p), compiled.specs
+    [name])`` — so every later pass is a scan-parallel parquet read with
+    pushdown instead of re-parsing XML.  Cross-table keyrefs run against
+    the landed key table (broadcast/hash join, identities.py:317-334)."""
+    compiled: CompiledXsd = (
+        xsd_source if isinstance(xsd_source, CompiledXsd)
+        else compile_xsd(xsd_source, base_dir=base_dir)
+    )
+    paths: dict = {}
+    for name, df in xml_instance_tables(
+        spark, xml_path, compiled, prefix=prefix
+    ).items():
+        p = os.path.join(out_dir, name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+    return paths
+
+
 def validate_xml_instance(
     spark: SparkSession,
     xml_path: str,
