@@ -291,8 +291,187 @@ def _read_container(
     )
 
 
+_XSI_URI = "http://www.w3.org/2001/XMLSchema-instance"
+
+
+def _field_by_local(dtype: T.StructType, step: str):
+    for sf in dtype.fields:
+        if sf.name.startswith("_"):
+            continue
+        if _local_of(sf.name)[0] == step:
+            return sf
+    return None
+
+
+def _xsi_type_field(dtype: T.StructType, nsmap: dict):
+    """The inferred field carrying xsi:type, if any ('_xsi:type' under the
+    conventional prefix; any prefix bound to the XSI namespace counts)."""
+    for sf in dtype.fields:
+        local, is_attr, pfx = _local_of(sf.name)
+        if is_attr and local == "type" and (
+            pfx == "xsi" or nsmap.get(pfx) == _XSI_URI
+        ):
+            return sf.name
+    return None
+
+
+def _xsi_local(col):
+    return F.element_at(F.split(col.cast("string"), ":"), -1)
+
+
+def _flatten_nested(spark, xml_path, compiled, name, prefix, doc):
+    """One NESTED table's (flat DataFrame | None, [violation parts]):
+    repeated elements below a row element, exploded level by level with
+    the composite ``doc#parentIndex...`` landing in the ordinary scope
+    column so identities/occurs run unchanged (xsd_compile.NestedTable).
+    Levels gated on an xsi:type only see parent rows carrying it
+    (elements.py:657-682)."""
+    spec = compiled.specs[name]
+    nested = compiled.nested_tables
+    nsmap = sniff_nsmap(xml_path)
+
+    # parent chain from the TOP row element down to this table
+    chain = [name]
+    while nested[chain[0]].parent_table in nested:
+        chain.insert(0, nested[chain[0]].parent_table)
+    top = nested[chain[0]].parent_table
+
+    parent = compiled.parent_of.get(name, top)
+    pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
+    container = _read_container(spark, xml_path, f"{pfx}{parent}")
+    fields = {f.name: f for f in container.schema.fields}
+
+    # level 0: the top row element's rows with their ordinal
+    if top in getattr(compiled, "doc_rows", frozenset()):
+        keep = [fn for fn in fields if not fn.startswith("_")]
+        rows = container.select(
+            F.lit(0).alias("_p0"),
+            F.struct(*[F.col(f"`{fn}`") for fn in keep]).alias("_row"),
+        )
+    else:
+        row_field = next(
+            (fn for fn in fields
+             if fn != "_VALUE" and not fn.startswith("_xmlns")
+             and not fn.startswith("_xsi:")
+             and _local_of(fn)[0] == top), None,
+        )
+        if row_field is None:
+            return None, []  # no parent rows: nothing to validate here
+        dtype = fields[row_field].dataType
+        if isinstance(dtype, T.ArrayType):
+            rows = container.select(
+                F.posexplode(F.col(f"`{row_field}`")).alias("_p0", "_row")
+            )
+        else:
+            rows = container.select(
+                F.lit(0).alias("_p0"), F.col(f"`{row_field}`").alias("_row")
+            )
+
+    pos_cols = ["_p0"]
+    for li, tbl in enumerate(chain):
+        nt = nested[tbl]
+        rtype = rows.schema["_row"].dataType
+        if not isinstance(rtype, T.StructType):
+            return None, []
+        if nt.xsi_type:
+            xf = _xsi_type_field(rtype, nsmap)
+            if xf is None:
+                return None, []
+            rows = rows.filter(
+                _xsi_local(F.col(f"_row.`{xf}`")) == nt.xsi_type
+            )
+        # navigate the single-occurrence intermediate steps
+        cur, cur_type = "_row", rtype
+        ok = True
+        for step in nt.rel_path[:-1]:
+            sf = _field_by_local(cur_type, step)
+            if sf is None or not isinstance(sf.dataType, T.StructType):
+                ok = False
+                break
+            cur, cur_type = f"{cur}.`{sf.name}`", sf.dataType
+        if not ok:
+            return None, []
+        sf = _field_by_local(cur_type, nt.rel_path[-1])
+        if sf is None:
+            return None, []  # absent everywhere (occurs limitation)
+        pcol = f"_p{li + 1}"
+        if isinstance(sf.dataType, T.ArrayType):
+            rows = rows.select(
+                *pos_cols,
+                F.posexplode(F.col(f"{cur}.`{sf.name}`")).alias(
+                    pcol, "_row"
+                ),
+            )
+        else:
+            rows = rows.select(
+                *pos_cols,
+                F.lit(0).alias(pcol),
+                F.col(f"{cur}.`{sf.name}`").alias("_row"),
+            )
+        pos_cols.append(pcol)
+
+    # composite scope: doc + every ancestor ordinal (NOT this level's)
+    scope_val = F.concat_ws(
+        "#", F.lit(doc), *[F.col(c).cast("string") for c in pos_cols[:-1]]
+    )
+    order_val = F.col(pos_cols[-1]).cast("long")
+
+    parts: list = []
+    rtype = rows.schema["_row"].dataType
+    if not isinstance(rtype, T.StructType):
+        # nested SIMPLE value table: the row IS the element text
+        flat = rows.select(
+            F.col("_row").cast("string").alias("value"),
+            scope_val.alias(spec.scope_col),
+            order_val.alias(spec.order_col),
+        )
+        return flat, parts
+
+    paths = compiled.column_paths.get(name, {})
+    if set(paths) == {"value"} and tuple(paths.get("value", ())) == ():
+        # simple value inferred as struct (attributes present)
+        val = (
+            F.col("_row.`_VALUE`")
+            if "_VALUE" in rtype.fieldNames() else F.lit(None)
+        )
+        flat = rows.select(
+            val.cast("string").alias("value"),
+            scope_val.alias(spec.scope_col),
+            order_val.alias(spec.order_col),
+        )
+        return flat, parts
+
+    rdr = _TableReader(
+        name, spec, paths,
+        compiled.skipped_paths.get(name, ()),
+        parent, doc,
+        wildcards=getattr(compiled, "wildcards", {}).get(name, ()),
+        mixed=getattr(compiled, "mixed_paths", {}).get(name, frozenset()),
+        target_ns=getattr(compiled, "target_namespace", ""),
+        nsmap=nsmap,
+        globals_=getattr(compiled, "global_elements", frozenset()),
+    )
+    rdr.walk(rtype, "_row.", ())
+    for cond, sel in rdr.struct_viols:
+        parts.append(
+            rows.filter(cond).select(F.lit(doc).alias("conv_id"), *sel)
+        )
+    flat = rows.select(
+        *[
+            (rdr.extract[c.name] if c.name in rdr.extract
+             else F.lit(None).cast("string")).alias(c.name)
+            for c in spec.columns
+        ],
+        scope_val.alias(spec.scope_col),
+        order_val.alias(spec.order_col),
+    )
+    return flat, parts
+
+
 def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
     """One table's (flat DataFrame | None, [structural violation parts])."""
+    if name in getattr(compiled, "nested_tables", {}):
+        return _flatten_nested(spark, xml_path, compiled, name, prefix, doc)
     spec = compiled.specs[name]
     parent = compiled.parent_of.get(name, name)
     pfx = prefix if prefix is not None else sniff_prefix(xml_path, parent)
@@ -409,6 +588,63 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         )
         return flat, parts
 
+    # xsi:type overlays (elements.py:657-682): rows carrying a derived
+    # type's xsi:type validate against THAT type's overlay column-set;
+    # unknown xsi:type values are flagged and fall back to the base
+    overlays = getattr(compiled, "xsi_overlays", {}).get(name, {})
+    rtype0 = rows.schema["_row"].dataType
+    nsmap0 = sniff_nsmap(xml_path)
+    if overlays and isinstance(rtype0, T.StructType):
+        xf = _xsi_type_field(rtype0, nsmap0)
+        if xf is not None:
+            xcol = F.col(f"_row.`{xf}`")
+            xsi = _xsi_local(xcol)
+            declared = getattr(compiled, "declared_types", {}).get(name)
+            known = set(overlays) | ({declared} if declared else set())
+            for tname, ov in overlays.items():
+                odf = rows.filter(xsi == tname)
+                ordr = _TableReader(
+                    name, ov["spec"], ov["column_paths"], ov["skipped"],
+                    parent, doc,
+                    wildcards=ov["wildcards"], mixed=ov["mixed"],
+                    target_ns=getattr(compiled, "target_namespace", ""),
+                    nsmap=nsmap0,
+                    globals_=getattr(compiled, "global_elements",
+                                     frozenset()),
+                )
+                ordr.walk(rtype0, "_row.", ())
+                for cond, sel in ordr.struct_viols:
+                    parts.append(
+                        odf.filter(cond).select(
+                            F.lit(doc).alias("conv_id"), *sel
+                        )
+                    )
+                flat_o = (
+                    odf.select(*[
+                        (ordr.extract[c.name] if c.name in ordr.extract
+                         else F.lit(None).cast("string")).alias(c.name)
+                        for c in ov["spec"].columns
+                    ])
+                    .withColumn(spec.scope_col, F.lit(doc))
+                    .withColumn(spec.order_col,
+                                F.monotonically_increasing_id())
+                )
+                parts.append(validate(flat_o, ov["spec"]).violations)
+            parts.append(
+                rows.filter(
+                    xcol.isNotNull() & ~xsi.isin(list(known))
+                ).select(
+                    F.lit(doc).alias("conv_id"),
+                    *_viol(name, parent, "structure:unknown-xsi-type",
+                           xcol,
+                           f"xsi:type on '{name}' does not resolve to a "
+                           "compiled type (elements.py:657-682)"),
+                )
+            )
+            rows = rows.filter(
+                xcol.isNull() | ~xsi.isin(list(overlays))
+            )
+
     rdr = _TableReader(
         name, spec,
         compiled.column_paths.get(name, {}),
@@ -417,7 +653,7 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         wildcards=getattr(compiled, "wildcards", {}).get(name, ()),
         mixed=getattr(compiled, "mixed_paths", {}).get(name, frozenset()),
         target_ns=getattr(compiled, "target_namespace", ""),
-        nsmap=sniff_nsmap(xml_path),
+        nsmap=nsmap0,
         globals_=getattr(compiled, "global_elements", frozenset()),
     )
     rdr.walk(rows.schema["_row"].dataType, "_row.", ())

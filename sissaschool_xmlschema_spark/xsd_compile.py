@@ -34,13 +34,20 @@ Supported subset (everything a tabular corpus can express):
   markers — namespace set + processContents — that gate the instance
   reader's undeclared-content flags;
 * ``mixed="true"`` (complex_types.py:35) marks its path so char data among
-  element children is admitted.
+  element children is admitted;
+* repeated children BELOW a row element (simple or complex, any depth ≤ 6)
+  become NESTED tables scoped per parent row — the composite
+  ``doc#parentIndex`` lands in the ordinary scope column so
+  identities/occurs machinery applies unchanged;
+* ``xsi:type`` dynamic type substitution (elements.py:657-682): every
+  global complexType deriving from a row element's declared type compiles
+  to an overlay column-set the instance reader validates against.
 
 Deliberately out of scope (recorded in ``CompiledXsd.restrictions``, never
-silently dropped): repeated SIMPLE children inside a row (no flat column),
-nested repeated groups below a row element, and substitution groups in the
-document structure (the engine models them as enumerations —
-operators/substitution.py).
+silently dropped): substitution groups in the document structure (the
+engine models them as enumerations — operators/substitution.py), and
+identity constraints selecting a nested table from outside its parent
+chain.
 """
 
 from __future__ import annotations
@@ -82,6 +89,20 @@ class Wildcard:
     kind: str  # 'element' | 'attribute'
     ns: str
     process: str
+
+
+@dataclass(frozen=True)
+class NestedTable:
+    """A repeated element BELOW a row element, modelled as its own table
+    (the reference validates these as ordinary subtrees; the flat engine
+    gives each nesting level its own table scoped per parent row — the
+    composite ``doc#parentIndex`` value lands in the ordinary scope column,
+    so identities/occurs machinery applies unchanged)."""
+
+    parent_table: str  # the enclosing row element (or nested table)
+    rel_path: tuple  # element steps from the parent row to this element
+    # only parent rows carrying this xsi:type contribute (None = all rows)
+    xsi_type: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -143,6 +164,15 @@ class CompiledXsd:
     # document-value tables whose simple type is whiteSpace=preserve: the
     # instance reader keeps surrounding space for these
     preserve_space: frozenset = frozenset()
+    # table -> NestedTable for repeated elements below a row element
+    nested_tables: dict = field(default_factory=dict)
+    # row element -> {xsi:type local name -> overlay view dict
+    # (spec, column_paths, skipped, wildcards, mixed)}: dynamic type
+    # substitution on instances (reference elements.py:657-682)
+    xsi_overlays: dict = field(default_factory=dict)
+    # row element -> its declared type's local name (xsi:type naming the
+    # declared type is a no-op, anything else unknown is a violation)
+    declared_types: dict = field(default_factory=dict)
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -194,6 +224,9 @@ class _Ctx:
     wildcards: dict = field(default_factory=dict)
     # table -> set of path tuples with mixed="true" content
     mixed: dict = field(default_factory=dict)
+    # repeated children BELOW a row element, queued for their own nested
+    # tables: dicts (parent, name, path, kind, payload, eff_min, eff_max)
+    pending_nested: list = field(default_factory=list)
 
 
 def _local(qname: Optional[str]) -> str:
@@ -455,7 +488,7 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
 
 def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   uniques: list, scope_col: str, in_choice: bool,
-                  table: str, steps: tuple = ()) -> None:
+                  table: str, steps: tuple = (), path_min: int = 1) -> None:
     """Flatten one complexType's attributes + content into columns."""
     # mixed="true" (complex_types.py:35): char data admitted among the
     # element children — recorded per path so the instance reader gates its
@@ -486,14 +519,14 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 )
             if deriv_tag == "extension":
                 _flatten_type(base_ct, ctx, prefix, cols, uniques,
-                              scope_col, in_choice, table, steps)
+                              scope_col, in_choice, table, steps, path_min)
             else:
                 # restriction: content comes from the derived node only;
                 # the base contributes attributes (they are inherited)
                 _flatten_attributes(base_ct, ctx, prefix, cols, uniques,
                                     scope_col, steps, table)
             _flatten_type_body(deriv, ctx, prefix, cols, uniques, scope_col,
-                               in_choice, table, steps)
+                               in_choice, table, steps, path_min)
             # a restriction (or malformed extension) redeclares base
             # attributes/children it constrains: the DERIVED declaration
             # wins, at the base's position
@@ -536,7 +569,7 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             if base_local in ctx.complex_types:
                 _flatten_type(ctx.complex_types[base_local], ctx, prefix,
                               cols, uniques, scope_col, in_choice, table,
-                              steps)
+                              steps, path_min)
             elif base and (
                 _is_builtin(base, ctx) or base_local in ctx.simple_types
             ):
@@ -592,12 +625,13 @@ def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                             steps, table)
         return
     _flatten_type_body(ct, ctx, prefix, cols, uniques, scope_col,
-                       in_choice, table, steps)
+                       in_choice, table, steps, path_min)
 
 
 def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                        uniques: list, scope_col: str, in_choice: bool,
-                       table: str, steps: tuple = ()) -> None:
+                       table: str, steps: tuple = (),
+                       path_min: int = 1) -> None:
     """Attributes + model groups of one complexType/derivation node."""
     _flatten_attributes(ct, ctx, prefix, cols, uniques, scope_col, steps,
                         table)
@@ -629,7 +663,7 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             if sub.tag in (_xs("sequence"), _xs("all"), _xs("choice")):
                 fake.append(sub)
         _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
-                      in_choice, table, steps)
+                      in_choice, table, steps, path_min)
     for group_tag in ("sequence", "all", "choice"):
         for group in ct.findall(_xs(group_tag)):
             child_in_choice = in_choice or group_tag == "choice"
@@ -644,6 +678,7 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
             # they belong in their own tables, not in this row's columns
             gmax_attr = group.get("maxOccurs", "1")
             g_repeat = gmax_attr == "unbounded" or int(gmax_attr) > 1
+            gmin = int(group.get("minOccurs", "1"))
             # xs:any (wildcards.py:33-164): open element content at this
             # level — marker for the instance reader, never silently dropped
             for anynode in group.findall(_xs("any")):
@@ -673,10 +708,17 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 kind, payload = _element_type(decl, ctx)
                 if kind == "simple":
                     if max_occ is None or max_occ > 1:
-                        ctx.restrictions.append(
-                            f"{table}: repeated simple child {prefix}{name} "
-                            "has no flat column (skipped)"
-                        )
+                        # repeated simple child below a row element:
+                        # its own nested value table, scoped per parent row
+                        ctx.pending_nested.append(dict(
+                            parent=table, name=name,
+                            path=steps + (name,), kind="simple",
+                            payload=payload,
+                            eff_min=0 if child_in_choice
+                            else path_min * min_occ
+                            * (gmin if g_repeat else 1),
+                            eff_max=max_occ,
+                        ))
                         ctx.skipped.setdefault(table, set()).add(
                             steps + (name,)
                         )
@@ -691,18 +733,24 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                     )
                 else:
                     if max_occ is None or max_occ > 1:
-                        ctx.restrictions.append(
-                            f"{table}: nested repeated group "
-                            f"{prefix}{name} below a row element (skipped; "
-                            "model it as its own table)"
-                        )
+                        # repeated complex child below a row element:
+                        # its own nested table, scoped per parent row
+                        ctx.pending_nested.append(dict(
+                            parent=table, name=name,
+                            path=steps + (name,), kind="complex",
+                            payload=payload,
+                            eff_min=0 if child_in_choice
+                            else path_min * min_occ
+                            * (gmin if g_repeat else 1),
+                            eff_max=max_occ,
+                        ))
                         ctx.skipped.setdefault(table, set()).add(
                             steps + (name,)
                         )
                         continue
                     _flatten_type(payload, ctx, prefix + name + "_", cols,
                                   uniques, scope_col, child_in_choice, table,
-                                  steps + (name,))
+                                  steps + (name,), path_min * min_occ)
                 if group_tag == "choice":
                     names = [c.name for c in cols[_branch_start:]]
                     if names:
@@ -722,7 +770,8 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                 fake.append(sub)
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
                               in_choice or sub.tag == _xs("choice"), table,
-                              steps)
+                              steps,
+                              path_min * int(sub.get("minOccurs", "1")))
                 if group_tag == "choice":
                     names = [c.name for c in cols[_branch_start:]]
                     if names:
@@ -739,7 +788,7 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                                    _xs("choice")):
                         fake.append(sub)
                 _flatten_type(fake, ctx, prefix, cols, uniques, scope_col,
-                              child_in_choice, table, steps)
+                              child_in_choice, table, steps, path_min)
             if group_tag == "choice" and len(branches) >= 2:
                 present = [
                     "(" + " OR ".join(f"{c} IS NOT NULL" for c in b) + ")"
@@ -1104,9 +1153,11 @@ def compile_xsd(
         n_asserts = len(ctx.assertions.get(gname, ()))
         n_wild = len(ctx.wildcards.get(gname, ()))
         prev_mixed = set(ctx.mixed.get(gname, ()))
+        n_pend = len(ctx.pending_nested)
         _flatten_type(gpayload, ctx, "", dcols, duniq, scope_col,
                       in_choice=False, table=gname)
         if not dcols:
+            del ctx.pending_nested[n_pend:]
             del ctx.restrictions[n_restr:]
             if prev_skipped:
                 ctx.skipped[gname] = prev_skipped
@@ -1127,6 +1178,118 @@ def compile_xsd(
         tables[gname] = dcols
         table_uniques[gname] = duniq
         table_model[gname] = []
+
+    # --- xsi:type overlays ---------------------------------------------------
+    # dynamic type substitution on instances (reference elements.py:657-682):
+    # for each row element with a NAMED declared type, every global
+    # complexType DERIVING from it (complexContent base chains) compiles to
+    # an overlay column-set; the instance reader validates rows carrying
+    # xsi:type=T against T's overlay.  Nested repeated children discovered
+    # inside an overlay become nested tables gated on that xsi:type.
+    def _base_chain(tname: str, seen: tuple = ()) -> list:
+        ct = ctx.complex_types.get(tname)
+        if ct is None:
+            return []
+        node = ct.find(_xs("complexContent"))
+        if node is None:
+            node = ct.find(_xs("simpleContent"))
+        if node is None:
+            return []
+        for dt in ("extension", "restriction"):
+            d = node.find(_xs(dt))
+            if d is not None and d.get("base"):
+                b = _local(d.get("base"))
+                if b in seen:
+                    return []
+                return [b] + _base_chain(b, seen + (b,))
+        return []
+
+    derived_of: dict = {}
+    for tname in ctx.complex_types:
+        for b in _base_chain(tname):
+            derived_of.setdefault(b, []).append(tname)
+
+    xsi_overlays: dict = {}
+    declared_types: dict = {}
+    for name, (el, _ctype, _p, _mn, _mx) in detected.items():
+        decl = _resolve_element(el, ctx)
+        d_local = _local(decl.get("type") or "")
+        if d_local:
+            declared_types[name] = d_local
+        for T in derived_of.get(d_local, ()):
+            key = f"{name}@{T}"
+            ocols: list = []
+            ouniq: list = []
+            n_pend = len(ctx.pending_nested)
+            _flatten_type(ctx.complex_types[T], ctx, "", ocols, ouniq,
+                          scope_col, in_choice=False, table=key)
+            for ent in ctx.pending_nested[n_pend:]:
+                if ent["parent"] == key:
+                    ent["parent"] = name
+                    ent["xsi_type"] = T
+            spec_o = S.TableSpec(
+                name=key,
+                scope_col=scope_col,
+                order_col=order_col,
+                columns=tuple(
+                    S.ColumnSpec(c.name, tuple(c.facets)) for c in ocols
+                ),
+                identities=tuple(ouniq),
+                row_assertions=tuple(ctx.assertions.get(key, ())),
+            )
+            xsi_overlays.setdefault(name, {})[T] = dict(
+                spec=spec_o,
+                column_paths={c.name: c.path for c in ocols},
+                skipped=frozenset(ctx.skipped.get(key, ())),
+                wildcards=tuple(ctx.wildcards.get(key, ())),
+                mixed=frozenset(ctx.mixed.get(key, ())),
+            )
+
+    # --- nested repeated tables --------------------------------------------
+    # repeated children BELOW a row element become their own tables scoped
+    # per parent row (composite doc#parentIndex in the ordinary scope
+    # column), processed as a queue so nesting levels chain; an element
+    # already modelled as a table elsewhere keeps its skipped-path marker
+    # and is not duplicated
+    nested_meta: dict = {}  # name -> NestedTable
+    qi = 0
+    while qi < len(ctx.pending_nested):
+        ent = ctx.pending_nested[qi]
+        qi += 1
+        nname = ent["name"]
+        if nname in tables or nname in detected_simple \
+                or nname in nested_meta:
+            continue
+        if len(ent["path"]) > 6:
+            ctx.restrictions.append(
+                f"{ent['parent']}: nested repeated element {nname} deeper "
+                "than 6 levels (skipped)"
+            )
+            continue
+        if ent["kind"] == "simple":
+            ncols = [_Column("value", list(ent["payload"]), path=())]
+            nuniq: list = []
+        else:
+            ncols, nuniq = [], []
+            _flatten_type(ent["payload"], ctx, "", ncols, nuniq, scope_col,
+                          in_choice=False, table=nname)
+        tables[nname] = ncols
+        table_uniques[nname] = nuniq
+        model: list = []
+        if emit_occurs and (
+            ent["eff_min"] > 0 or ent["eff_max"] is not None
+        ):
+            model.append(
+                S.Occurs(
+                    f"occurs-{nname}", where="TRUE",
+                    min_occurs=ent["eff_min"], max_occurs=ent["eff_max"],
+                )
+            )
+        table_model[nname] = model
+        nested_meta[nname] = NestedTable(
+            parent_table=ent["parent"], rel_path=tuple(ent["path"]),
+            xsi_type=ent.get("xsi_type"),
+        )
 
     # --- identity constraints ---------------------------------------------
     # constraints may sit on ANY element declaration; resolve each selector
@@ -1159,14 +1322,14 @@ def compile_xsd(
                         table = t
                         rest = sel_tokens[i + 1:]
                         break
-                if table is None and host in tables:
-                    # constraint declared ON a row element itself
-                    # (selector '.' — collection3bis): each element is its
+                if table is None and host in tables and not sel_tokens:
+                    # constraint declared ON a row element itself with
+                    # selector '.' (collection3bis): each element is its
                     # own scope; the reference propagates the key upward
                     # with last-sibling-override, so only the LAST
                     # occurrence per document is visible to outer keyrefs
                     table = host
-                    rest = sel_tokens
+                    rest = []
                     last_wins = True
                 if table is None:
                     ctx.restrictions.append(
@@ -1174,6 +1337,24 @@ def compile_xsd(
                         "does not reach a row element (skipped)"
                     )
                     continue
+                if table in nested_meta:
+                    # a nested table's scope column is doc#parentIndex —
+                    # correct exactly when the constraint is declared on
+                    # an ancestor in its parent chain (issue_245: key on
+                    # 'part' selecting './/circle')
+                    chain = {table}
+                    cur = table
+                    while cur in nested_meta:
+                        cur = nested_meta[cur].parent_table
+                        chain.add(cur)
+                    if host not in chain:
+                        ctx.restrictions.append(
+                            f"identity {node.get('name')!r}: selector "
+                            f"{sel!r} reaches nested table {table!r} from "
+                            f"outside its parent chain (host "
+                            f"{host!r}; skipped)"
+                        )
+                        continue
                 cols = tuple(
                     _flatten_field(rest, _xpath_tokens(fx)) for fx in fields
                 )
@@ -1252,6 +1433,12 @@ def compile_xsd(
         for name, (_el, _ct, parent, _mn, _mx) in detected.items()
     }
     parent_of.update({name: name for name in doc_rows})
+    # a nested table reads through its TOP row element's container
+    for nname, nt in nested_meta.items():
+        top = nt.parent_table
+        while top in nested_meta:
+            top = nested_meta[top].parent_table
+        parent_of[nname] = parent_of.get(top, top)
     column_paths = {
         name: {c.name: c.path for c in tables[name]} for name in tables
     }
@@ -1324,7 +1511,14 @@ def compile_xsd(
                 f"row elements {missing} not found as repeated complex "
                 f"children of a global element (detected: {sorted(specs)})"
             )
-        specs = {k: specs[k] for k in row_elements}
+        keep = list(row_elements)
+        for nname, nt in nested_meta.items():
+            top = nt.parent_table
+            while top in nested_meta:
+                top = nested_meta[top].parent_table
+            if top in row_elements and nname not in keep:
+                keep.append(nname)  # nested tables follow their parent
+        specs = {k: specs[k] for k in keep}
         external = [
             e for e in external
             if e.table in specs and e.key_table in specs
@@ -1365,6 +1559,13 @@ def compile_xsd(
         target_namespace=root.get("targetNamespace") or "",
         global_elements=frozenset(ctx.elements),
         preserve_space=frozenset(preserve_space),
+        nested_tables={
+            n: nt for n, nt in nested_meta.items() if n in specs
+        },
+        xsi_overlays={
+            n: o for n, o in xsi_overlays.items() if n in specs
+        },
+        declared_types=declared_types,
     )
 
 

@@ -68,9 +68,13 @@ def test_compile_collection2_shape(compiled2):
         isinstance(i, S.Unique) and i.fields == ("id",)
         for i in sp.identities
     )
-    # nested repeated group (characters/person) is a recorded restriction,
-    # never a silent drop
-    assert any("characters_person" in r for r in compiled2.restrictions)
+    # nested repeated group (characters/person) is modelled as its own
+    # nested table scoped per object row — no longer a restriction
+    assert "person" in compiled2.nested_tables
+    assert compiled2.nested_tables["person"].parent_table == "object"
+    assert compiled2.nested_tables["person"].rel_path == (
+        "characters", "person")
+    assert not any("characters_person" in r for r in compiled2.restrictions)
 
 
 def test_f2_collection2_xml_one_error(spark, compiled2):

@@ -443,3 +443,98 @@ def test_parquet_landing_path_multi_container(spark, tmp_path):
     )
     # and the single expected violation is the cross-table keyref
     assert landed.count() == 1
+
+
+def test_issue_245_xsi_type_nested_tables(spark):
+    """issues/issue_245 --errors=2 (testfiles:134): xsi:type resolves to the
+    ContrastVisionTest overlay (elements.py:657-682); its nested repeated
+    circle/circle_pressed elements become tables scoped per part row
+    (doc#partIndex in the scope column), so the part-scoped key finds the
+    duplicated circle_id=1 and the keyref finds the dangling
+    circle_pressed -> 0."""
+    B = f"{IB}/issue_245"
+    c = compile_xsd(f"{B}/issue_245.xsd")
+    assert sorted(c.specs) == ["circle", "circle_pressed", "part"]
+    assert c.nested_tables["circle"].xsi_type == "ContrastVisionTest"
+    assert c.restrictions == ()
+    got = sorted(
+        (r["constraint_id"], r["offending_value"])
+        for r in validate_xml_instance(
+            spark, f"{B}/issue_245.xml", c
+        ).collect()
+    )
+    assert got == [
+        ("key:circle_id_key", "1"),
+        ("keyref:circle_id_keyref", "0"),
+    ]
+    assert count_errors(spark, f"{B}/issue_245-valid.xml", c) == 0
+
+
+def test_unknown_xsi_type_is_flagged(spark, tmp_path):
+    """An xsi:type that resolves to no compiled type is a violation, not a
+    silent skip (r4 verdict missing item 3)."""
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:complexType name="Base"><xs:attribute name="a" type="xs:string"/>
+  </xs:complexType>
+  <xs:complexType name="Derived"><xs:complexContent>
+    <xs:extension base="Base">
+      <xs:attribute name="b" type="xs:string" use="required"/>
+    </xs:extension></xs:complexContent>
+  </xs:complexType>
+  <xs:element name="doc"><xs:complexType><xs:sequence>
+    <xs:element name="rec" type="Base" maxOccurs="unbounded"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    assert "Derived" in c.xsi_overlays["rec"]
+    p = tmp_path / "x.xml"
+    p.write_text(
+        '<doc xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+        '<rec xsi:type="Derived" a="1" b="2"/>'
+        '<rec xsi:type="Derived" a="1"/>'
+        '<rec xsi:type="Mystery" a="1"/>'
+        '<rec a="1"/></doc>'
+    )
+    v = validate_xml_instance(spark, str(p), c)
+    got = sorted(r["constraint_id"] for r in v.collect())
+    # row 2: Derived requires @b; row 3: unknown xsi:type
+    assert got == [
+        "facet:b:Required", "structure:unknown-xsi-type",
+    ]
+
+
+def test_nested_repeated_table_occurs_and_key(spark, tmp_path):
+    """Nested repeated elements below a row element are tables scoped per
+    parent row: per-parent occurrence bounds and per-parent uniqueness."""
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="doc"><xs:complexType><xs:sequence>
+    <xs:element name="item" maxOccurs="unbounded">
+      <xs:complexType><xs:sequence>
+        <xs:element name="tag" maxOccurs="3">
+          <xs:complexType>
+            <xs:attribute name="k" type="xs:string" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType>
+      <xs:unique name="tag_k_unique">
+        <xs:selector xpath="tag"/><xs:field xpath="@k"/>
+      </xs:unique>
+    </xs:element>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+    c = compile_xsd(xsd)
+    assert c.nested_tables["tag"].parent_table == "item"
+    p = tmp_path / "n.xml"
+    p.write_text(
+        "<doc>"
+        '<item><tag k="a"/><tag k="a"/></item>'  # dup WITHIN one item
+        '<item><tag k="a"/><tag k="b"/><tag k="c"/><tag k="d"/></item>'
+        "</doc>"
+    )
+    v = validate_xml_instance(spark, str(p), c)
+    got = sorted(r["constraint_id"] for r in v.collect())
+    # dup k in item 0 + four tags (max 3) in item 1; the same k across
+    # DIFFERENT items is legal (per-parent scope)
+    assert got == ["occurs:occurs-tag", "unique:tag_k_unique"]
