@@ -97,6 +97,18 @@ def sniff_nsmap(path: str) -> dict:
     return nsmap
 
 
+def _sniff_root_local(path: str) -> str:
+    """Local name of the document's root element (driver-side head peek,
+    prolog/comments/DOCTYPE skipped)."""
+    with open(path, "rb") as f:
+        head = f.read(65536).decode("utf-8", "replace")
+    head = re.sub(r"<\?.*?\?>", "", head, flags=re.S)
+    head = re.sub(r"<!--.*?-->", "", head, flags=re.S)
+    head = re.sub(r"<!DOCTYPE[^>]*>", "", head, flags=re.S)
+    m = re.search(r"<([A-Za-z_][\w.:-]*)", head)
+    return m.group(1).rpartition(":")[-1] if m else "?"
+
+
 def _local_of(field_name: str) -> tuple:
     """(step, is_attr, prefix) for one inferred field name: attributes
     carry a leading '_', namespace prefixes matter only to wildcards."""
@@ -744,18 +756,33 @@ def validate_xml_instance(
     table: Optional[str] = None,
     prefix: Optional[str] = None,
     base_dir: Optional[str] = None,
+    version: str = "1.0",
 ) -> DataFrame:
     """All violations for one instance document in the canonical violation
     schema (``conv_id`` = document label, ``path`` = element location).
 
     ``table`` restricts to one row element; default validates every table
     the schema defines plus the schema's cross-table keyrefs.  ``prefix``
-    overrides namespace-prefix sniffing.
+    overrides namespace-prefix sniffing.  ``version`` selects the XSD
+    processor version for schema compilation (vc:minVersion gating).
     """
     compiled: CompiledXsd = (
         xsd_source if isinstance(xsd_source, CompiledXsd)
-        else compile_xsd(xsd_source, base_dir=base_dir)
+        else compile_xsd(xsd_source, base_dir=base_dir, version=version)
     )
+    if not compiled.specs:
+        # an INAPPLICABLE schema (vc:minVersion gating, issue_349): no
+        # declaration exists for the document root — one violation
+        root_local = _sniff_root_local(xml_path)
+        return spark.createDataFrame(
+            [(os.path.basename(str(xml_path)), None, root_local,
+              "structure:no-declaration", root_local,
+              f"no declaration available for document root "
+              f"'{root_local}' (schema inapplicable: "
+              f"{'; '.join(compiled.restrictions) or 'empty schema'})")],
+            "conv_id string, turn_idx bigint, path string, "
+            "constraint_id string, offending_value string, reason string",
+        )
     tables = [table] if table else sorted(compiled.specs)
     doc = os.path.basename(str(xml_path))
     parts: list = []

@@ -962,6 +962,7 @@ def compile_xsd(
     lexical: bool = True,
     emit_occurs: bool = True,
     base_dir: Optional[str] = None,
+    version: str = "1.0",
 ) -> CompiledXsd:
     """Compile an XSD document to TableSpecs (one per row element).
 
@@ -977,6 +978,29 @@ def compile_xsd(
     """
     roots, include_notes, redefines = _collect_schema_roots(source, base_dir)
     root = roots[0]
+
+    # version-control gating (schemas.py XSD_VERSION; issue_349): a 1.0
+    # processor must treat a schema with vc:minVersion > 1.0 as having no
+    # declarations at all — every instance element is then undeclared
+    min_v = root.get(
+        "{http://www.w3.org/2007/XMLSchema-versioning}minVersion"
+    )
+    if min_v:
+        try:
+            inapplicable = float(min_v) > float(version)
+        except ValueError:
+            inapplicable = False
+        if inapplicable:
+            return CompiledXsd(
+                specs={},
+                external_keyrefs=(),
+                restrictions=(
+                    f"vc:minVersion {min_v} > processor version "
+                    f"{version}: the schema is inapplicable — no "
+                    "declarations are available",
+                ),
+                target_namespace=root.get("targetNamespace") or "",
+            )
 
     ctx = _Ctx(root=root, lexical=lexical)
     ctx.restrictions.extend(include_notes)

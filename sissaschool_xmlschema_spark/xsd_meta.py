@@ -778,6 +778,15 @@ def _model_group_of(ct_or_deriv: ET.Element):
         g = ct_or_deriv.find(_xs(tag))
         if g is not None:
             return g
+    # a derived base: the derivation node's OWN group (its additions) —
+    # issue_265's FullStudentInfo declares studienliste inside its
+    # complexContent extension
+    cc = ct_or_deriv.find(_xs("complexContent"))
+    if cc is not None:
+        for dt in ("extension", "restriction"):
+            d = cc.find(_xs(dt))
+            if d is not None:
+                return _model_group_of(d)
     return None
 
 
@@ -842,27 +851,64 @@ def _check_complex_content(ctx: _Ctx, doc: _Doc, ct: ET.Element,
                     "base type's order (XSD 1.0 derivation rule)",
                 )
         if _localtag(base_group) == "sequence":
-            # a required base particle cannot vanish from the restriction
-            deriv_all = {
-                (c.get("name") or (c.get("ref") or "").rpartition(":")[-1])
-                for c in deriv_group.iter(_xs("element"))
-            }
+            # a required base particle cannot vanish from the restriction;
+            # a substitution MEMBER standing in for the head satisfies it
+            # but is itself version-gated (invalid-restrictions1: W3C bug
+            # 4147 — illegal under 1.0 unless the head is abstract, legal
+            # under 1.1 unless the member particle can repeat)
+            deriv_particles: dict = {}
+            for c in deriv_group.iter(_xs("element")):
+                nm = (
+                    c.get("name")
+                    or (c.get("ref") or "").rpartition(":")[-1]
+                )
+                deriv_particles.setdefault(nm, c)
             for c in base_group:
                 if c.tag != _xs("element"):
                     continue
                 if int(c.get("minOccurs", "1")) < 1:
                     continue
+                ref = c.get("ref")
                 nm = (
-                    c.get("name")
-                    or (c.get("ref") or "").rpartition(":")[-1]
+                    c.get("name") or (ref or "").rpartition(":")[-1]
                 )
-                if nm not in deriv_all:
-                    ctx.err(
-                        doc.where, "restriction-drops-required",
-                        f"restriction of {base_q!r} drops required "
-                        f"particle {nm!r} (occurrence violation / "
-                        "not-emptiable particle)",
+                if nm in deriv_particles:
+                    continue
+                huri = (
+                    doc.uri_of(c, ref) if ref else doc.effective_tns
+                )
+                members = {
+                    m_local
+                    for m_uri, m_local in ctx.subst.get((huri, nm), ())
+                }
+                standing = sorted(members & set(deriv_particles))
+                if standing:
+                    decl = _lookup(ctx, ("element",), huri, nm)
+                    head_abstract = (
+                        decl is not None
+                        and decl[1].get("abstract") == "true"
                     )
+                    if head_abstract:
+                        continue  # head can't appear: no ambiguity
+                    p = deriv_particles[standing[0]]
+                    mn = int(p.get("minOccurs", "1"))
+                    mx = p.get("maxOccurs", "1")
+                    repeats = mx == "unbounded" or int(mx) > mn
+                    if ctx.version == "1.0" or repeats:
+                        ctx.err(
+                            doc.where, "restriction-substituted-head",
+                            f"restriction of {base_q!r} replaces head "
+                            f"particle {nm!r} with substitution member "
+                            f"{standing[0]!r} (illegal under XSD "
+                            "1.0; ambiguous when repeatable under 1.1)",
+                        )
+                    continue
+                ctx.err(
+                    doc.where, "restriction-drops-required",
+                    f"restriction of {base_q!r} drops required "
+                    f"particle {nm!r} (occurrence violation / "
+                    "not-emptiable particle)",
+                )
 
 
 def _check_default_attributes(ctx: _Ctx, doc: _Doc) -> None:

@@ -538,3 +538,20 @@ def test_nested_repeated_table_occurs_and_key(spark, tmp_path):
     # dup k in item 0 + four tags (max 3) in item 1; the same k across
     # DIFFERENT items is legal (per-parent scope)
     assert got == ["occurs:occurs-tag", "unique:tag_k_unique"]
+
+
+def test_issue_349_version_gating(spark):
+    """issues/issue_349 (testfiles:154-155): vc:minVersion="1.1" makes the
+    schema INAPPLICABLE to a 1.0 processor — the document root has no
+    declaration (1 error); under 1.1 the schema applies and the document
+    is valid (empty element satisfies the required untyped child)."""
+    B = f"{IB}/issue_349"
+    v10 = validate_xml_instance(
+        spark, f"{B}/issue_349.xml", f"{B}/issue_349.xsd"
+    )
+    rows = v10.collect()
+    assert len(rows) == 1
+    assert rows[0]["constraint_id"] == "structure:no-declaration"
+    assert rows[0]["offending_value"] == "test"
+    c11 = compile_xsd(f"{B}/issue_349.xsd", version="1.1")
+    assert count_errors(spark, f"{B}/issue_349.xml", c11) == 0

@@ -46,6 +46,13 @@ ERROR_CASES = [
     ("issues/issue_018/issue_018.xsd", "1.1", 0),
     ("issues/issue_203/issue_203.xsd", "1.0", 1),
     ("issues/issue_203/issue_203.xsd", "1.1", 0),
+    # redefine restriction dropping a required base particle (the base's
+    # model group lives inside its complexContent extension)
+    ("issues/issue_265/issue_265-2-invalid.xsd", "1.0", 1),
+    # substitution member standing in for a non-abstract head particle:
+    # illegal under 1.0 (3 types), ambiguous-when-repeatable under 1.1 (1)
+    ("features/derivations/invalid-restrictions1.xsd", "1.0", 3),
+    ("features/derivations/invalid-restrictions1.xsd", "1.1", 1),
 ]
 
 VALID_CASES = [
