@@ -269,23 +269,22 @@ def main() -> int:
     if not args.suite_only:
         result["queries"] = run_sf_queries(spark, args.sf_dir)
         result["notes"] = (
-            "r3: simhash_fast now uses combined-chunk tables (C(10,2)=45 "
-            "12.8-bit keys for max_hamming=8) — same verified pair set as "
-            "r2's 9x7-bit scheme, ~10x fewer random candidates (5.8s -> "
-            "~3s at sf0.1; sf0.01 -> sf0.1 10x-docs growth 2.66s -> 2.93s, "
-            "i.e. inside the ~2.5s fixed driver floor, no longer "
-            "quadratic-leaning; the O(n*tables) candidate bound is "
-            "pytest-asserted); simhash_keep_fast / dedup_keep_cc / "
-            "lang_id_model / lsh_topk_probe are new r3 operators; dedup "
-            "pair queries still enumerate O(cluster^2) TRUE pairs on this "
-            "duplicate-dense corpus (~8.5M pairs at sf0.1), which is why "
-            "dedup_keep_fast (the O(n) keep-list production shape) is the "
-            "dedup headline; late-r3 additions (all oracle-green): "
-            "lm_quality2 (bigram LM, broadcast-only joins), "
-            "quality_clf_score (trained logistic filter, zero-exchange "
-            "scoring), skew_summary (one-scan skew diagnostics via "
-            "exchange reuse), xml_roundtrip (encode->decode per-turn "
-            "equality through Spark's native XML)"
+            "r5: new wildcard_ns_strict query (##other-with-strict "
+            "wildcard semantics as NotInSet + RowAssertion row-local "
+            "predicates, oracle hash-matched — 97th contract query); "
+            "XSD front door gained xs:any/xs:anyAttribute/xs:openContent "
+            "markers, mixed content, simpleContent restriction, "
+            "document-value tables, nested repeated tables (composite "
+            "per-parent-row scope through the unchanged identities/occurs "
+            "machinery), xsi:type overlays, and vc:minVersion gating — "
+            "none of which touch the transcript hot path; pattern "
+            "anchoring moved from ^..$ to \\A..\\z (Java $ matched before "
+            "a final newline: same plan shape, exactness fix); schema-"
+            "document meta-validation (xsd_meta.py) is driver-side only. "
+            "Suite numbers should match r4 modulo host noise — no hot-"
+            "path plan changed this round; dedup pair queries still "
+            "enumerate O(cluster^2) TRUE pairs by design (audit shape), "
+            "dedup_keep_fast remains the O(n) production keep-list."
         )
     print(json.dumps(result))
     return 0

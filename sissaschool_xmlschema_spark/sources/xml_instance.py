@@ -494,6 +494,7 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
     )
     fields = {f.name: f for f in container.schema.fields}
     parts: list = []
+    member_flats: list = []  # substitution members standing in for `name`
 
     # a document-value table's own text IS the declared 'value' column —
     # everything else treats container _VALUE as stray char data
@@ -529,6 +530,83 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
             F.struct(*[F.col(f"`{fn}`") for fn in keep]).alias("_row")
         )
     else:
+        # substitution members standing in for the head (elements.py:
+        # 611-621): validated against the member's own type, merged into
+        # the head's table for occurrence/identity checks
+        members = getattr(compiled, "subst_overlays", {}).get(name, {})
+        if members:
+            nsmap_m = sniff_nsmap(xml_path)
+            for mname, mo in members.items():
+                mfield = next(
+                    (fn for fn in fields
+                     if fn != "_VALUE" and not fn.startswith("_xmlns")
+                     and not fn.startswith("_xsi:")
+                     and _local_of(fn)[0] == mname), None,
+                )
+                if mfield is None:
+                    continue
+                mdtype = fields[mfield].dataType
+                melem = (
+                    F.explode(F.col(f"`{mfield}`"))
+                    if isinstance(mdtype, T.ArrayType)
+                    else F.col(f"`{mfield}`")
+                )
+                mrows = container.select(melem.alias("_row"))
+                mrtype = mrows.schema["_row"].dataType
+                if not isinstance(mrtype, T.StructType):
+                    continue
+                mrdr = _TableReader(
+                    mname, mo["spec"], mo["column_paths"], mo["skipped"],
+                    parent, doc,
+                    wildcards=mo["wildcards"], mixed=mo["mixed"],
+                    target_ns=getattr(compiled, "target_namespace", ""),
+                    nsmap=nsmap_m,
+                    globals_=getattr(compiled, "global_elements",
+                                     frozenset()),
+                )
+                mrdr.walk(mrtype, "_row.", ())
+                for cond, sel in mrdr.struct_viols:
+                    parts.append(
+                        mrows.filter(cond).select(
+                            F.lit(doc).alias("conv_id"), *sel
+                        )
+                    )
+                flat_m = (
+                    mrows.select(*[
+                        (mrdr.extract[c.name] if c.name in mrdr.extract
+                         else F.lit(None).cast("string")).alias(c.name)
+                        for c in mo["spec"].columns
+                    ])
+                    .withColumn(spec.scope_col, F.lit(doc))
+                    .withColumn(spec.order_col,
+                                F.monotonically_increasing_id())
+                )
+                # member-ONLY constraints validate here; base-type facets
+                # and shared identities run on the merged head table (no
+                # double counting)
+                from sissaschool_xmlschema_spark import spec as S
+
+                head_cols = {c.name for c in spec.columns}
+                head_ids = {i.name for i in spec.identities}
+                spec_extra = S.TableSpec(
+                    name=mo["spec"].name,
+                    scope_col=spec.scope_col,
+                    order_col=spec.order_col,
+                    columns=tuple(
+                        c for c in mo["spec"].columns
+                        if c.name not in head_cols
+                    ),
+                    identities=tuple(
+                        i for i in mo["spec"].identities
+                        if i.name not in head_ids
+                    ),
+                    row_assertions=mo["spec"].row_assertions,
+                )
+                if (spec_extra.columns or spec_extra.identities
+                        or spec_extra.row_assertions):
+                    parts.append(validate(flat_m, spec_extra).violations)
+                member_flats.append(flat_m)
+
         # locals may be qualified (elementFormDefault="qualified", vh:car)
         # or not (collection's bare <object>): match by local name
         row_field = next(
@@ -537,6 +615,27 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
              and not fn.startswith("_xsi:") and _local_of(fn)[0] == name),
             None,
         )
+        if row_field is None and member_flats:
+            # the head never appears itself; the table is its members
+            flat = member_flats[0].select(
+                *[
+                    (F.col(c.name)
+                     if c.name in member_flats[0].columns
+                     else F.lit(None).cast("string")).alias(c.name)
+                    for c in spec.columns
+                ],
+                F.col(spec.scope_col), F.col(spec.order_col),
+            )
+            for fm in member_flats[1:]:
+                flat = flat.unionByName(fm.select(
+                    *[
+                        (F.col(c.name) if c.name in fm.columns
+                         else F.lit(None).cast("string")).alias(c.name)
+                        for c in spec.columns
+                    ],
+                    F.col(spec.scope_col), F.col(spec.order_col),
+                ))
+            return flat, parts
         if row_field is None:
             # no row elements anywhere in the document: a minOccurs>0 bound
             # is still violated once per container occurrence
@@ -668,7 +767,18 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         nsmap=nsmap0,
         globals_=getattr(compiled, "global_elements", frozenset()),
     )
-    rdr.walk(rows.schema["_row"].dataType, "_row.", ())
+    rtype_row = rows.schema["_row"].dataType
+    if isinstance(rtype_row, T.StructType):
+        rdr.walk(rtype_row, "_row.", ())
+    else:
+        # structureless rows (empty elements / bare text): nothing to walk;
+        # the element's own text maps to a ()-path column when one exists
+        own = next(
+            (col for col, p in compiled.column_paths.get(name, {}).items()
+             if tuple(p) == ()), None,
+        )
+        if own is not None:
+            rdr.extract[own] = F.col("_row").cast("string")
 
     for cond, sel in rdr.struct_viols:
         parts.append(
@@ -687,6 +797,17 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
         # checks should land in parquet with a real order key
         .withColumn(spec.order_col, F.monotonically_increasing_id())
     )
+    # substitution members merge into the head table (shared columns) so
+    # occurrence bounds and identities see head + member rows together
+    for fm in member_flats:
+        flat = flat.unionByName(fm.select(
+            *[
+                (F.col(c.name) if c.name in fm.columns
+                 else F.lit(None).cast("string")).alias(c.name)
+                for c in spec.columns
+            ],
+            F.col(spec.scope_col), F.col(spec.order_col),
+        ))
     return flat, parts
 
 

@@ -173,6 +173,12 @@ class CompiledXsd:
     # row element -> its declared type's local name (xsi:type naming the
     # declared type is a no-op, anything else unknown is a violation)
     declared_types: dict = field(default_factory=dict)
+    # head row element -> {substitution member name -> overlay view dict}:
+    # a member element standing in for its head in the document
+    # (reference elements.py:611-621); member rows are validated against
+    # the member's own type and merged into the head's table for
+    # occurrence/identity checks
+    subst_overlays: dict = field(default_factory=dict)
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -1269,6 +1275,59 @@ def compile_xsd(
                 mixed=frozenset(ctx.mixed.get(key, ())),
             )
 
+    # --- substitution-group members as document structure --------------------
+    # a global element with substitutionGroup=H may stand in for H in the
+    # instance (elements.py:611-621): compile the member's type to an
+    # overlay the reader validates member rows against, merging them into
+    # the head's table for occurrence/identity checks
+    subst_overlays: dict = {}
+    for gname, gel in ctx.elements.items():
+        head = _local(gel.get("substitutionGroup") or "")
+        if not head or head not in detected or gname in detected:
+            continue
+        mkind, mpayload = _element_type(gel, ctx)
+        if mkind != "complex":
+            ctx.restrictions.append(
+                f"substitution member {gname!r} of head {head!r} has a "
+                "simple type (outside the flat member-overlay subset; "
+                "skipped)"
+            )
+            continue
+        key = f"{head}@@{gname}"
+        mcols: list = []
+        muniq: list = []
+        n_pend = len(ctx.pending_nested)
+        _flatten_type(mpayload, ctx, "", mcols, muniq, scope_col,
+                      in_choice=False, table=key)
+        for ent in ctx.pending_nested[n_pend:]:
+            if ent["parent"] == key:
+                ent["parent"] = None  # not supported below members
+                ctx.restrictions.append(
+                    f"substitution member {gname!r}: nested repeated "
+                    f"child {ent['name']!r} below a member element "
+                    "(skipped)"
+                )
+        ctx.pending_nested[:] = [
+            e for e in ctx.pending_nested if e["parent"] is not None
+        ]
+        spec_m = S.TableSpec(
+            name=gname,  # violation paths read '<member>/<col>'
+            scope_col=scope_col,
+            order_col=order_col,
+            columns=tuple(
+                S.ColumnSpec(c.name, tuple(c.facets)) for c in mcols
+            ),
+            identities=tuple(muniq),
+            row_assertions=tuple(ctx.assertions.get(key, ())),
+        )
+        subst_overlays.setdefault(head, {})[gname] = dict(
+            spec=spec_m,
+            column_paths={c.name: c.path for c in mcols},
+            skipped=frozenset(ctx.skipped.get(key, ())),
+            wildcards=tuple(ctx.wildcards.get(key, ())),
+            mixed=frozenset(ctx.mixed.get(key, ())),
+        )
+
     # --- nested repeated tables --------------------------------------------
     # repeated children BELOW a row element become their own tables scoped
     # per parent row (composite doc#parentIndex in the ordinary scope
@@ -1590,6 +1649,9 @@ def compile_xsd(
             n: o for n, o in xsi_overlays.items() if n in specs
         },
         declared_types=declared_types,
+        subst_overlays={
+            n: o for n, o in subst_overlays.items() if n in specs
+        },
     )
 
 

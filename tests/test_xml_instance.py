@@ -453,7 +453,10 @@ def test_issue_245_xsi_type_nested_tables(spark):
     duplicated circle_id=1 and the keyref finds the dangling
     circle_pressed -> 0."""
     B = f"{IB}/issue_245"
-    c = compile_xsd(f"{B}/issue_245.xsd")
+    # the schema declares vc:minVersion="1.1" (testfiles runs it with
+    # --version=1.1); a 1.0 processor must treat it as inapplicable
+    assert compile_xsd(f"{B}/issue_245.xsd").specs == {}
+    c = compile_xsd(f"{B}/issue_245.xsd", version="1.1")
     assert sorted(c.specs) == ["circle", "circle_pressed", "part"]
     assert c.nested_tables["circle"].xsi_type == "ContrastVisionTest"
     assert c.restrictions == ()
@@ -555,3 +558,59 @@ def test_issue_349_version_gating(spark):
     assert rows[0]["offending_value"] == "test"
     c11 = compile_xsd(f"{B}/issue_349.xsd", version="1.1")
     assert count_errors(spark, f"{B}/issue_349.xml", c11) == 0
+
+
+SUBST_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:complexType name="ProductType">
+    <xs:attribute name="sku" type="xs:string" use="required"/>
+  </xs:complexType>
+  <xs:complexType name="WidgetType"><xs:complexContent>
+    <xs:extension base="ProductType">
+      <xs:attribute name="gears" type="xs:int" use="required"/>
+    </xs:extension></xs:complexContent>
+  </xs:complexType>
+  <xs:element name="product" type="ProductType"/>
+  <xs:element name="widget" type="WidgetType" substitutionGroup="product"/>
+  <xs:element name="catalog"><xs:complexType><xs:sequence>
+    <xs:element ref="product" maxOccurs="5"/>
+  </xs:sequence></xs:complexType></xs:element>
+</xs:schema>"""
+
+
+def test_substitution_members_in_document(spark, tmp_path):
+    """A member element standing in for its head (elements.py:611-621):
+    member rows validate against the member's type (member-only Required)
+    AND merge into the head table, so occurrence bounds count head+member
+    rows together and a members-only document satisfies the head."""
+    c = compile_xsd(SUBST_XSD)
+    assert sorted(c.subst_overlays["product"]) == ["widget"]
+
+    ok = tmp_path / "ok.xml"
+    ok.write_text(
+        '<catalog><product sku="a"/><widget sku="b" gears="3"/></catalog>')
+    assert count_errors(spark, str(ok), c) == 0
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text('<catalog><product/><widget sku="b"/></catalog>')
+    got = sorted(
+        r["constraint_id"]
+        for r in validate_xml_instance(spark, str(bad), c).collect()
+    )
+    # base sku Required on the bare product; member-only gears Required on
+    # the widget — each exactly once (no double counting)
+    assert got == ["facet:gears:Required", "facet:sku:Required"]
+
+    many = tmp_path / "many.xml"
+    many.write_text(
+        "<catalog>" + '<product sku="a"/>' * 3
+        + '<widget sku="b" gears="1"/>' * 3 + "</catalog>")
+    got = sorted(
+        r["constraint_id"]
+        for r in validate_xml_instance(spark, str(many), c).collect()
+    )
+    assert got == ["occurs:occurs-product"]  # 6 > maxOccurs 5, counted jointly
+
+    only = tmp_path / "only.xml"
+    only.write_text('<catalog><widget sku="b" gears="1"/></catalog>')
+    assert count_errors(spark, str(only), c) == 0
