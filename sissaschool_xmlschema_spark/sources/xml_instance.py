@@ -29,10 +29,21 @@ DataFrame row = one container element; production corpora with enormous
 containers should land in parquet via ``rowTag=<row element>`` streaming
 (sources/xml_io.py) and validate tabularly.
 
-Reference parity pinned by tests/test_xml_instance.py: the vehicles and
-collection example instances reproduce the reference testfiles' exact
-counts (``vehicles-1_error.xml --errors=1`` … ``collection3.xml --errors
-1``, /root/reference/tests/test_cases/testfiles:11-26).
+Beyond the flat subset, the reader resolves (r5): wildcard markers
+(``xs:any``/``xs:anyAttribute``/``xs:openContent`` gate the undeclared
+flags), ``mixed="true"`` char data, ``xsi:type`` overlays
+(elements.py:657-682), substitution members standing in for their head
+(elements.py:611-621), NESTED repeated tables (per-parent-row composite
+scope through the unchanged identities/occurs machinery), document-value
+tables with whiteSpace=preserve, and ``vc:minVersion`` version gating.
+
+Reference parity pinned by tests/test_xml_instance.py +
+tests/test_wildcards_mixed.py: together with the schema-document
+meta-validator (xsd_meta.py), **47 of the reference testfiles' 49
+``--errors=N`` cases reproduce exact counts**
+(/root/reference/tests/test_cases/testfiles); the remaining two (model1,
+issue_029-2) are the documented one-error-per-field granularity
+difference.
 """
 
 from __future__ import annotations
