@@ -31,11 +31,16 @@ CASES = [
     (f"{IB}/issue_028/issue_028-1.xml", f"{IB}/issue_028/issue_028.xsd", 0),
     (f"{IB}/issue_028/issue_028-2.xml", f"{IB}/issue_028/issue_028.xsd", 1),
     # issue_029: sequence of two required singletons; -2 (fully empty
-    # document) is NOT claimed: the reference emits one combined
-    # content-not-complete error where the flat model reports one Required
-    # violation per missing field (granularity difference, count 2 vs 1)
+    # document): the reference emits ONE content-not-complete error — the
+    # model-error collapse (_collapse_model_errors) reproduces that
+    # granularity from the flat engine's per-field Required reports
     (f"{IB}/issue_029/issue_029-1.xml", f"{IB}/issue_029/issue_029.xsd", 0),
+    (f"{IB}/issue_029/issue_029-2.xml", f"{IB}/issue_029/issue_029.xsd", 1),
     (f"{IB}/issue_029/issue_029-3.xml", f"{IB}/issue_029/issue_029.xsd", 1),
+    # features/models: 0 comments (min 4) + 6 names (max 3) is ONE
+    # ModelVisitor error at the broken <data> container (testfiles:64)
+    ("/root/reference/tests/test_cases/features/models/model1.xml",
+     "/root/reference/tests/test_cases/features/models/models.xsd", 1),
     # issue_035: xs:int lexical on a row field
     (f"{IB}/issue_035/dates.xml", f"{IB}/issue_035/dates.xsd", 1),
     (f"{IB}/issue_073/issue_073-1.xml", f"{IB}/issue_073/issue_073.xsd", 0),
@@ -322,7 +327,10 @@ def test_list_types_exact_errors(spark):
 
 def test_absent_required_row_element(spark, tmp_path):
     """minOccurs>0 on a row element entirely absent from the document:
-    one under-occurrence violation per container (cvc-complex-type.2.4.b)."""
+    content-model errors collapse to ONE per container element instance
+    (reference ModelVisitor granularity — features/models/model1.xml
+    --errors=1: the absent comment under-occurrence is reported, the name
+    over-occurrence inside the same broken container is not)."""
     from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
 
     xsd = """<?xml version="1.0"?>
@@ -338,11 +346,9 @@ def test_absent_required_row_element(spark, tmp_path):
     p.write_text("<doc>" + "<name>Paul</name>" * 6 + "</doc>")
     v = validate_xml_instance(spark, str(p), c)
     got = sorted((r["path"], r["constraint_id"]) for r in v.collect())
-    # absent comment (min 4) + name over max (3)
-    assert got == [
-        ("doc/comment", "occurs:occurs-comment"),
-        ("name", "occurs:occurs-name"),
-    ]
+    # absent comment (min 4) + name over max (3) are the same container's
+    # content model: one collapsed violation, first in model order
+    assert got == [("doc/comment", "occurs:occurs-comment")]
 
 
 def test_valid_optional_absent_row_element(spark, tmp_path):
