@@ -3422,7 +3422,7 @@ viol AS (
   WHERE turn_idx IS NOT NULL AND NOT regexp_full_match(
     CAST(turn_idx AS STRING), '{_ljr("nonNegativeInteger")}')
   UNION ALL
-  SELECT 'facet:turn_idx:Assertion' FROM t
+  SELECT 'facet:turn_idx:IntRange' FROM t
   WHERE turn_idx IS NOT NULL
     AND NOT (TRY_CAST(turn_idx AS DECIMAL(38,0)) >= 0)
   UNION ALL

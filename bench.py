@@ -284,7 +284,14 @@ def main() -> int:
             "Suite numbers should match r4 modulo host noise — no hot-"
             "path plan changed this round; dedup pair queries still "
             "enumerate O(cluster^2) TRUE pairs by design (audit shape), "
-            "dedup_keep_fast remains the O(n) production keep-list."
+            "dedup_keep_fast remains the O(n) production keep-list. "
+            "Late-r5: full testfiles instance parity (57/57) via "
+            "ModelVisitor-granularity collapse, xs:alternative arm "
+            "overlays, nillable/xsi:nil, recursion-cut cyclic types, "
+            "hexBinary value-space compare, list item-count lengths, and "
+            "an IntRange Column-op facet replacing the SQL-string builtin "
+            "range assertion (also fixes hyphenated XML names; "
+            "facet:*:Assertion -> facet:*:IntRange for builtin widths)."
         )
     print(json.dumps(result))
     return 0

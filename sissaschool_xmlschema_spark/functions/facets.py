@@ -43,7 +43,13 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
 
     if isinstance(facet, S.Enumeration):
         vals = list(facet.values)
-        pred = c.isin(vals)
+        if getattr(facet, "canon", None) == "hex":
+            # hexBinary value space: case-insensitive digits (issue_222)
+            pred = F.upper(c).isin(
+                [v.upper() if isinstance(v, str) else v for v in vals]
+            )
+        else:
+            pred = c.isin(vals)
         # NaN special case (facets.py:689-698): enum containing NaN admits NaN.
         if any(isinstance(v, float) and math.isnan(v) for v in vals):
             pred = pred | F.isnan(c)
@@ -158,7 +164,13 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         )
 
     if isinstance(facet, S.FixedValue):
-        return _null_ok(c, c == F.lit(facet.value)), (
+        if getattr(facet, "canon", None) == "hex" \
+                and isinstance(facet.value, str):
+            # hexBinary value space: case-insensitive digits (issue_222)
+            pred = F.upper(c) == F.lit(facet.value.upper())
+        else:
+            pred = c == F.lit(facet.value)
+        return _null_ok(c, pred), (
             f"must have the fixed value {facet.value!r}"
         )
 
@@ -174,6 +186,21 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         b64 = "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
         return _null_ok(c, c.rlike(b64)), (
             "not a valid base64Binary lexical form"
+        )
+
+    if isinstance(facet, S.IntRange):
+        # builtin integer width (builtins.py:216-330): tolerant decimal
+        # cast, then value-space bounds.  A non-castable value yields NULL
+        # (no bit set) — BuiltinLexical owns the malformed-lexical report.
+        d = c.cast("string").try_cast("decimal(38,0)")
+        pred = F.lit(True)
+        if facet.lo is not None:
+            pred = pred & (d >= facet.lo)
+        if facet.hi is not None:
+            pred = pred & (d <= facet.hi)
+        return _null_ok(c, pred), (
+            f"value out of the builtin integer range "
+            f"[{facet.lo}, {facet.hi}]"
         )
 
     if isinstance(facet, S.Nillable):
@@ -266,9 +293,13 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
         # substitution that skips single-quoted SQL string literals — a blind
         # substring replace would corrupt identifiers like `values`/`value_x`
         # and literals like 'value'.
+        # backtick-quote the substituted identifier: XML names may carry
+        # hyphens/dots (issue_208 'interface-category'), which the SQL
+        # parser would otherwise read as arithmetic
+        quoted = column if column.startswith("`") else f"`{column}`"
         expr = re.sub(
             r"'[^']*'|\$?\bvalue\b",
-            lambda m: m.group(0) if m.group(0).startswith("'") else column,
+            lambda m: m.group(0) if m.group(0).startswith("'") else quoted,
             facet.expr,
         )
         return _null_ok(c, F.expr(expr)), f"assertion test {facet.expr!r} failed"

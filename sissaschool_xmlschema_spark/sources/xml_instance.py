@@ -32,17 +32,23 @@ containers should land in parquet via ``rowTag=<row element>`` streaming
 Beyond the flat subset, the reader resolves (r5): wildcard markers
 (``xs:any``/``xs:anyAttribute``/``xs:openContent`` gate the undeclared
 flags), ``mixed="true"`` char data, ``xsi:type`` overlays
-(elements.py:657-682), substitution members standing in for their head
+(elements.py:657-682), XSD 1.1 conditional type alternatives
+(``xs:alternative test="@attr='v'"`` arm overlays, elements.py:1345-1365),
+``nillable``/``xsi:nil`` (a nilled element satisfies Required,
+elements.py:711-728), substitution members standing in for their head
 (elements.py:611-621), NESTED repeated tables (per-parent-row composite
-scope through the unchanged identities/occurs machinery), document-value
+scope through the unchanged identities/occurs machinery), recursive
+content models (cycle-cut one-level-deep validation), document-value
 tables with whiteSpace=preserve, and ``vc:minVersion`` version gating.
 
 Reference parity pinned by tests/test_xml_instance.py +
-tests/test_wildcards_mixed.py: together with the schema-document
-meta-validator (xsd_meta.py), **all 49 of the reference testfiles'
-``--errors=N`` cases reproduce exact counts**
-(/root/reference/tests/test_cases/testfiles).  The last two (model1,
-issue_029-2) are closed by ``_collapse_model_errors``: element
+tests/test_wildcards_mixed.py: **every XML instance in the reference's
+testfiles list validates with exact parity — 57 of 57** (19 ``--errors=N``
+counts + 38 valid instances clean,
+/root/reference/tests/test_cases/testfiles); with the schema-document
+meta-validator (xsd_meta.py) all 49 ``--errors=N`` cases (instances +
+schema documents) reproduce exact counts.  The last two instance counts
+(model1, issue_029-2) are closed by ``_collapse_model_errors``: element
 content-model reports (occurs bounds, element-backed Required) collapse
 to one per container element instance, matching the reference
 ModelVisitor's stop-after-first-error granularity.
@@ -330,6 +336,14 @@ class _TableReader:
                     for inner in names:
                         if inner == "_VALUE" or inner.startswith("_xmlns") \
                                 or inner.startswith("_xsi:"):
+                            # xsi:nil on a nillable declaration extracts to
+                            # its compiled __nil column (issue_243); other
+                            # xsi machinery stays skipped
+                            nkey = key + ("@xsi:nil",)
+                            if inner.endswith(":nil") and nkey in self.paths:
+                                self.extract[self.paths[nkey]] = (
+                                    col.getField(inner).cast("string")
+                                )
                             continue
                         il, iattr, ipfx = _local_of(inner)
                         ikey = key + (("@" + il) if iattr else il,)
@@ -837,6 +851,54 @@ def _flatten_one(spark, xml_path, compiled, name, prefix, doc):
             rows = rows.filter(
                 xcol.isNull() | ~xsi.isin(list(overlays))
             )
+
+    # XSD 1.1 conditional type alternatives (elements.py:1345-1365,
+    # XsdAlternative:1450-1476): rows whose @attr='v' test matches validate
+    # against that arm's type overlay — first matching arm wins; rows
+    # matching no arm keep the declared type below
+    alts = getattr(compiled, "alt_overlays", {}).get(name, ())
+    rtype_alt = rows.schema["_row"].dataType
+    if alts and isinstance(rtype_alt, T.StructType):
+        remaining = rows
+        for arm in alts:
+            if arm["attr"] is not None:
+                fname = f"_{arm['attr']}"
+                if fname not in rtype_alt.fieldNames():
+                    continue  # attribute nowhere in the document: no match
+                tcol = F.col(f"_row.`{fname}`").cast("string")
+                cond = tcol.isNotNull() & (tcol == arm["value"])
+            else:
+                cond = F.lit(True)  # unconditional (default) arm
+            adf = remaining.filter(cond)
+            remaining = remaining.filter(~cond)
+            ardr = _TableReader(
+                name, arm["spec"], arm["column_paths"], arm["skipped"],
+                parent, doc,
+                wildcards=arm["wildcards"], mixed=arm["mixed"],
+                target_ns=getattr(compiled, "target_namespace", ""),
+                nsmap=nsmap0,
+                globals_=getattr(compiled, "global_elements",
+                                 frozenset()),
+            )
+            ardr.walk(rtype_alt, "_row.", ())
+            for vcond, sel in ardr.struct_viols:
+                parts.append(
+                    adf.filter(vcond).select(
+                        F.lit(doc).alias("conv_id"), *sel
+                    )
+                )
+            flat_a = (
+                adf.select(*[
+                    (ardr.extract[c.name] if c.name in ardr.extract
+                     else F.lit(None).cast("string")).alias(c.name)
+                    for c in arm["spec"].columns
+                ])
+                .withColumn(spec.scope_col, F.lit(doc))
+                .withColumn(spec.order_col,
+                            F.monotonically_increasing_id())
+            )
+            parts.append(validate(flat_a, arm["spec"]).violations)
+        rows = remaining
 
     rdr = _TableReader(
         name, spec,

@@ -40,9 +40,13 @@ class Enumeration(Facet):
 
     NaN membership is special-cased like facets.py:689-698: if the enumeration
     contains NaN, NaN values pass.
+
+    ``canon='hex'`` compares in the hexBinary VALUE space (case-insensitive
+    hex digits — issue_222: 'ABCEDF' equals enumeration value 'abcedf').
     """
 
     values: Sequence[str]
+    canon: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -163,9 +167,11 @@ class Prohibited(Facet):
 @dataclass(frozen=True)
 class FixedValue(Facet):
     """Present value must equal ``value`` (value-space equality) —
-    elements.py:748-770, attributes.py:241-260."""
+    elements.py:748-770, attributes.py:241-260.  ``canon='hex'`` compares
+    case-insensitively (hexBinary value space, issue_222)."""
 
     value: object
+    canon: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -186,6 +192,18 @@ class Nillable(Facet):
 
     nil_col: str
     fixed: Optional[object] = None
+
+
+@dataclass(frozen=True)
+class IntRange(Facet):
+    """Builtin integer width bounds (xs:byte/short/int/long/unsigned*,
+    builtins.py:216-330): value-space comparison after a tolerant decimal
+    cast — a non-numeric lexical is BuiltinLexical's violation, not this
+    one.  Lowered with Column ops (no SQL string), so it works on plain
+    columns, hyphenated XML names, and ListOf item lambdas alike."""
+
+    lo: Optional[int] = None
+    hi: Optional[int] = None
 
 
 @dataclass(frozen=True)

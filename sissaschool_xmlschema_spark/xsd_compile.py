@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Union
@@ -179,6 +180,12 @@ class CompiledXsd:
     # the member's own type and merged into the head's table for
     # occurrence/identity checks
     subst_overlays: dict = field(default_factory=dict)
+    # row element -> ordered tuple of conditional-type arms (XSD 1.1
+    # xs:alternative, reference elements.py:1450-1476): dicts with 'attr'/
+    # 'value' (the @attr='v' test subset; attr None = the unconditional
+    # default arm) + the overlay view dict.  First matching arm wins;
+    # non-matching rows fall back to the declared type.
+    alt_overlays: dict = field(default_factory=dict)
 
     def spec(self, name: Optional[str] = None) -> S.TableSpec:
         if name is None:
@@ -233,6 +240,16 @@ class _Ctx:
     # repeated children BELOW a row element, queued for their own nested
     # tables: dicts (parent, name, path, kind, payload, eff_min, eff_max)
     pending_nested: list = field(default_factory=list)
+    # complexType nodes currently being flattened (recursion guard):
+    # a recursive element reference (import-case4 rootA<->rootB,
+    # issue_437 NodeList->...->NodeList) is CUT at re-entry — the
+    # recursive subtree is recorded in skipped (schema-declared, not
+    # deep-validated) and in restrictions, never looped on
+    flatten_stack: list = field(default_factory=list)
+    # number of cycle cuts taken so far: a global element whose flatten
+    # yields NO columns but took a cut still becomes a (zero-column)
+    # document table — its content is schema-declared, just recursive
+    cycle_cuts: int = 0
 
 
 def _local(qname: Optional[str]) -> str:
@@ -285,14 +302,9 @@ def builtin_facets(local: str, lexical: bool = True) -> tuple:
         facets.append(S.BuiltinLexical(local))
     if local in INTEGER_RANGES:
         lo, hi = INTEGER_RANGES[local]
-        conds = []
-        if lo is not None:
-            conds.append(f"TRY_CAST(value AS DECIMAL(38,0)) >= {lo}")
-        if hi is not None:
-            conds.append(f"TRY_CAST(value AS DECIMAL(38,0)) <= {hi}")
-        # value-space width check as a cast assertion: works on string AND
-        # already-typed integer columns alike (builtins.py:216-330)
-        facets.append(S.Assertion(" AND ".join(conds)))
+        # value-space width check (builtins.py:216-330): Column-op facet —
+        # works on string AND typed columns, hyphenated names, list items
+        facets.append(S.IntRange(lo, hi))
     return tuple(facets)
 
 
@@ -375,7 +387,36 @@ def _compile_simple(node_or_ref, ctx: _Ctx, where: str = "") -> tuple:
             # ANDs with the base chain (one Pattern facet per step)
             facets.append(S.Pattern(tuple(patterns)))
         if enums:
-            facets.append(S.Enumeration(tuple(enums)))
+            # hexBinary base: membership compares in the VALUE space
+            # (case-insensitive hex digits, issue_222)
+            canon = (
+                "hex" if any(isinstance(f, S.HexBinary) for f in facets)
+                else None
+            )
+            facets.append(S.Enumeration(tuple(enums), canon=canon))
+        lof = next((f for f in facets if isinstance(f, S.ListOf)), None)
+        if lof is not None:
+            # length facets restricting a LIST type bound the ITEM COUNT,
+            # not the character count (facets.py XsdGroup list handling;
+            # issue_311 'point' = 2-item decimal list)
+            lo, hi = lof.min_items, lof.max_items
+            rest: list = []
+            for f in facets:
+                if f is lof:
+                    continue
+                if isinstance(f, S.Length):
+                    lo = hi = f.value
+                elif isinstance(f, S.MinLength):
+                    lo = f.value
+                elif isinstance(f, S.MaxLength):
+                    hi = f.value
+                else:
+                    rest.append(f)
+            rest.append(S.ListOf(
+                item_facets=lof.item_facets, separator=lof.separator,
+                min_items=lo, max_items=hi,
+            ))
+            facets = rest
         return tuple(facets)
 
     lst = st.find(_xs("list"))
@@ -483,6 +524,13 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
             inline = attr.find(_xs("simpleType"))
             if inline is not None:
                 facets.extend(_compile_simple(inline, ctx, name))
+        if any(isinstance(f, S.HexBinary) for f in facets):
+            # hexBinary fixed values compare in the value space (issue_222)
+            facets = [
+                S.FixedValue(f.value, canon="hex")
+                if isinstance(f, S.FixedValue) else f
+                for f in facets
+            ]
         cols.append(_Column(name, facets, path=steps + ("@" + aname,)))
         if type_local == "ID":
             # xs:ID uniqueness: IDs are unique per document
@@ -495,7 +543,40 @@ def _flatten_attributes(ct: ET.Element, ctx: _Ctx, prefix: str,
 def _flatten_type(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                   uniques: list, scope_col: str, in_choice: bool,
                   table: str, steps: tuple = (), path_min: int = 1) -> None:
-    """Flatten one complexType's attributes + content into columns."""
+    """Flatten one complexType's attributes + content into columns.
+
+    Recursion guard: a recursive element reference (mutually recursive
+    globals import-case4 rootA<->rootB; self-recursive content models
+    issue_437) re-enters the same complexType NODE while it is still being
+    flattened.  The cycle is cut at re-entry: the recursive subtree is
+    recorded in ``skipped`` (schema-declared — the instance reader must
+    not flag it undeclared) and in ``restrictions`` (the no-silent-drop
+    contract), and validation covers one unrolled level only — the flat
+    subset's honest limit for unbounded-depth content."""
+    key = id(ct)
+    if key in ctx.flatten_stack:
+        note = (
+            f"{table}: recursive type re-entered at "
+            f"{'/'.join(steps) or 'row'} (cycle cut: subtree is "
+            "schema-declared, validated one level deep)"
+        )
+        if note not in ctx.restrictions:
+            ctx.restrictions.append(note)
+        ctx.skipped.setdefault(table, set()).add(steps)
+        ctx.cycle_cuts += 1
+        return
+    ctx.flatten_stack.append(key)
+    try:
+        _flatten_type_guarded(ct, ctx, prefix, cols, uniques, scope_col,
+                              in_choice, table, steps, path_min)
+    finally:
+        ctx.flatten_stack.pop()
+
+
+def _flatten_type_guarded(ct: ET.Element, ctx: _Ctx, prefix: str,
+                          cols: list, uniques: list, scope_col: str,
+                          in_choice: bool, table: str, steps: tuple = (),
+                          path_min: int = 1) -> None:
     # mixed="true" (complex_types.py:35): char data admitted among the
     # element children — recorded per path so the instance reader gates its
     # char-data check (on the complexType, or overriding on complexContent)
@@ -730,10 +811,33 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                         )
                         continue
                     facets = list(payload)
+                    nillable = decl.get("nillable") == "true"
+                    nil_col = prefix + name + "__nil"
                     if min_occ >= 1 and not child_in_choice:
-                        facets.insert(0, S.Required())
+                        # a nilled element is PRESENT (xsi:nil='true'
+                        # satisfies the occurrence, elements.py:711-728,
+                        # issue_243): required only where not nilled
+                        facets.insert(0, S.Required(
+                            when=(
+                                f"coalesce(`{nil_col}`, 'false') "
+                                "NOT IN ('true','1')"
+                            ) if nillable else None
+                        ))
                     if decl.get("fixed") is not None:
-                        facets.append(S.FixedValue(decl.get("fixed")))
+                        facets.append(S.FixedValue(
+                            decl.get("fixed"),
+                            canon="hex" if any(
+                                isinstance(f, S.HexBinary) for f in facets
+                            ) else None,
+                        ))
+                    if nillable:
+                        facets.append(S.Nillable(
+                            nil_col=nil_col, fixed=decl.get("fixed")
+                        ))
+                        cols.append(_Column(
+                            nil_col, [S.BooleanLexical()],
+                            path=steps + (name, "@xsi:nil"),
+                        ))
                     cols.append(
                         _Column(prefix + name, facets, path=steps + (name,))
                     )
@@ -754,9 +858,28 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                             steps + (name,)
                         )
                         continue
+                    n_cols0 = len(cols)
+                    n_wild0 = len(ctx.wildcards.get(table, ()))
+                    mixed0 = set(ctx.mixed.get(table, ()))
+                    cuts0 = ctx.cycle_cuts
+                    n_nest0 = len(ctx.pending_nested)
                     _flatten_type(payload, ctx, prefix + name + "_", cols,
                                   uniques, scope_col, child_in_choice, table,
                                   steps + (name,), path_min * min_occ)
+                    # a singleton complex child whose subtree produced no
+                    # columns but IS open (wildcard/mixed/recursion-cut
+                    # content, issue_298's Container->Freeform chain) is
+                    # schema-declared: record it so the instance reader
+                    # does not flag the subtree as undeclared
+                    if len(cols) == n_cols0 and (
+                        len(ctx.wildcards.get(table, ())) > n_wild0
+                        or set(ctx.mixed.get(table, ())) != mixed0
+                        or ctx.cycle_cuts > cuts0
+                        or len(ctx.pending_nested) > n_nest0
+                    ):
+                        ctx.skipped.setdefault(table, set()).add(
+                            steps + (name,)
+                        )
                 if group_tag == "choice":
                     names = [c.name for c in cols[_branch_start:]]
                     if names:
@@ -1184,9 +1307,19 @@ def compile_xsd(
         n_wild = len(ctx.wildcards.get(gname, ()))
         prev_mixed = set(ctx.mixed.get(gname, ()))
         n_pend = len(ctx.pending_nested)
+        n_cuts = ctx.cycle_cuts
         _flatten_type(gpayload, ctx, "", dcols, duniq, scope_col,
                       in_choice=False, table=gname)
-        if not dcols:
+        # zero columns is still a table when the element's content is
+        # schema-declared but not column-izable: a recursion cut
+        # (import-case4) or wildcard/mixed open content (issue_298's
+        # Freeform) — the instance reader needs the markers kept
+        declared_open = (
+            ctx.cycle_cuts > n_cuts
+            or len(ctx.wildcards.get(gname, ())) > n_wild
+            or set(ctx.mixed.get(gname, ())) != prev_mixed
+        )
+        if not dcols and not declared_open:
             del ctx.pending_nested[n_pend:]
             del ctx.restrictions[n_restr:]
             if prev_skipped:
@@ -1274,6 +1407,65 @@ def compile_xsd(
                 wildcards=tuple(ctx.wildcards.get(key, ())),
                 mixed=frozenset(ctx.mixed.get(key, ())),
             )
+
+    # --- XSD 1.1 conditional type alternatives -------------------------------
+    # <xs:alternative test="@mode='A'" type="T"/> children of an element
+    # declaration (reference XsdAlternative elements.py:1450-1476,
+    # conditional assignment elements.py:1345-1365): instance rows whose
+    # test matches validate against T's overlay instead of the declared
+    # type.  Supported test subset: @attr='v' equality (and the
+    # unconditional final arm); anything richer records a restriction and
+    # the arm is not applied — never silently dropped.
+    alt_overlays: dict = {}
+    if version != "1.0":
+        for name, (el, _ctype, _p, _mn, _mx) in detected.items():
+            decl = _resolve_element(el, ctx)
+            for arm in decl.findall(_xs("alternative")):
+                test = arm.get("test")
+                tlocal = _local(arm.get("type") or "")
+                attr = value = None
+                if test is not None:
+                    m = re.match(
+                        r"^\s*@([\w.-]+)\s*=\s*(['\"])(.*)\2\s*$", test
+                    )
+                    if m is None:
+                        ctx.restrictions.append(
+                            f"{name}: xs:alternative test {test!r} outside "
+                            "the @attr='v' subset (arm not applied)"
+                        )
+                        continue
+                    attr, value = m.group(1), m.group(3)
+                if tlocal not in ctx.complex_types:
+                    ctx.restrictions.append(
+                        f"{name}: xs:alternative type {arm.get('type')!r} "
+                        "is not a named complexType (arm not applied)"
+                    )
+                    continue
+                key = f"{name}@alt@{tlocal}"
+                acols: list = []
+                auniq: list = []
+                n_pend = len(ctx.pending_nested)
+                _flatten_type(ctx.complex_types[tlocal], ctx, "", acols,
+                              auniq, scope_col, in_choice=False, table=key)
+                del ctx.pending_nested[n_pend:]  # not supported below arms
+                spec_a = S.TableSpec(
+                    name=name,  # violation paths read '<element>/<col>'
+                    scope_col=scope_col,
+                    order_col=order_col,
+                    columns=tuple(
+                        S.ColumnSpec(c.name, tuple(c.facets)) for c in acols
+                    ),
+                    identities=tuple(auniq),
+                    row_assertions=tuple(ctx.assertions.get(key, ())),
+                )
+                alt_overlays.setdefault(name, []).append(dict(
+                    attr=attr, value=value, type=tlocal,
+                    spec=spec_a,
+                    column_paths={c.name: c.path for c in acols},
+                    skipped=frozenset(ctx.skipped.get(key, ())),
+                    wildcards=tuple(ctx.wildcards.get(key, ())),
+                    mixed=frozenset(ctx.mixed.get(key, ())),
+                ))
 
     # --- substitution-group members as document structure --------------------
     # a global element with substitutionGroup=H may stand in for H in the
@@ -1651,6 +1843,9 @@ def compile_xsd(
         declared_types=declared_types,
         subst_overlays={
             n: o for n, o in subst_overlays.items() if n in specs
+        },
+        alt_overlays={
+            n: tuple(o) for n, o in alt_overlays.items() if n in specs
         },
     )
 

@@ -109,6 +109,11 @@ CASES = [
              S.ColumnSpec("v", (S.Nillable(nil_col="nil"),)),))),
     Case("hex-binary", 1, [("d", 0, "0fA1"), ("d", 1, "0fA")],
          facets=(S.HexBinary(),), constraint="facet:v:HexBinary"),
+    # builtin integer width (xs:byte): out-of-range flagged, in-range and
+    # non-castable (BuiltinLexical's job) pass
+    Case("int-range", 2, [("d", 0, "127"), ("d", 1, "128"),
+                          ("d", 2, "-129"), ("d", 3, "x"), ("d", 4, None)],
+         facets=(S.IntRange(-128, 127),), constraint="facet:v:IntRange"),
     Case("base64-binary", 1, [("d", 0, "YWJjZA=="), ("d", 1, "YWJjZA=")],
          facets=(S.Base64Binary(),), constraint="facet:v:Base64Binary"),
     Case("xsd-error", 1, [("d", 0, None), ("d", 1, "anything")],

@@ -81,6 +81,81 @@ def test_reference_instance_error_counts(spark, xml, xsd, expected):
     assert count_errors(spark, xml, xsd) == expected
 
 
+FB = "/root/reference/tests/test_cases/features"
+
+# Every remaining testfiles XML instance (the valid ones expect 0 errors;
+# r5 closes the full 57-instance sweep): version-aware cases, schema
+# resolved the way the factory does (xsi:schemaLocation or the -L flag).
+CASES_FULL_SWEEP = [
+    # hyphenated element/attribute names must not parse as SQL arithmetic
+    # in assertion/range lowerings (quoting + IntRange fixes)
+    (f"{IB}/issue_208/issue_208.xml", f"{IB}/issue_208/issue_208.xsd",
+     "1.0", 0),
+    # hexBinary fixed/enumeration compare in the VALUE space
+    (f"{IB}/issue_222/issue_222.xml", f"{IB}/issue_222/issue_222.xsd",
+     "1.0", 0),
+    # nillable + xsi:nil satisfies Required (nil column extraction)
+    (f"{IB}/issue_243/issue_243.xml", f"{IB}/issue_243/issue_243.xsd",
+     "1.1", 0),
+    # XSD 1.1 conditional type alternatives (@mode='A' arm overlays)
+    (f"{IB}/issue_018/issue_018-1.xml", f"{IB}/issue_018/issue_018.xsd",
+     "1.1", 0),
+    (f"{FB}/elements/test_alternatives-1.xml",
+     f"{FB}/elements/type_alternatives.xsd", "1.1", 0),
+    # mutually recursive global elements (cycle cut, zero-column doc tables)
+    (f"{FB}/namespaces/import-case4-1.xml",
+     f"{FB}/namespaces/import-case4a.xsd", "1.0", 0),
+    (f"{FB}/namespaces/import-case4-2.xml",
+     f"{FB}/namespaces/import-case4a.xsd", "1.0", 0),
+    # self-recursive content model (NodeList -> ... -> NodeList)
+    (f"{IB}/issue_437/issue_437-1.xml", f"{IB}/issue_437/issue_437.xsd",
+     "1.1", 0),
+    (f"{IB}/issue_437/issue_437-2.xml", f"{IB}/issue_437/issue_437.xsd",
+     "1.1", 0),
+    # all-wildcard content chain (zero-column doc table keeps markers)
+    (f"{IB}/issue_298/issue_298-1.xml", f"{IB}/issue_298/issue_298.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_298/issue_298-2.xml", f"{IB}/issue_298/issue_298.xsd",
+     "1.0", 0),
+    # length facets on a list type bound the ITEM COUNT (point = 2 items)
+    (f"{IB}/issue_311/correct_no_list.xml",
+     f"{IB}/issue_311/kPartModel_reduit_issue.xsd", "1.1", 0),
+    (f"{IB}/issue_311/incorrect_with_list.xml",
+     f"{IB}/issue_311/kPartModel_reduit_issue.xsd", "1.1", 0),
+    # plain valid instances from the sweep
+    (f"{FB}/builtins/builtins.xml", f"{FB}/builtins/builtins.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_041/issue_041.xml", f"{IB}/issue_041/issue_041.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_051/issue_051.xml", f"{IB}/issue_051/issue_051.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_086/issue_086-1.xml", f"{IB}/issue_086/issue_086.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_086/issue_086-2.xml", f"{IB}/issue_086/issue_086.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_203/issue_203.xml", f"{IB}/issue_203/issue_203.xsd",
+     "1.1", 0),
+    (f"{IB}/issue_266/issue_266-1.xml", f"{IB}/issue_266/issue_266-1.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_266/issue_266-2.xml", f"{IB}/issue_266/issue_266-2.xsd",
+     "1.0", 0),
+    (f"{IB}/issue_276/dummy.xml", f"{IB}/issue_276/schema.xsd", "1.0", 0),
+    (f"{IB}/issue_417/issue_417.xml", f"{IB}/issue_417/issue_417.xsd",
+     "1.0", 0),
+    (f"{CB}/collection4.xml", f"{CB}/collection4.xsd", "1.0", 0),
+]
+
+
+@pytest.mark.parametrize(
+    "xml,xsd,version,expected", CASES_FULL_SWEEP,
+    ids=[c[0].rsplit("/", 1)[-1] for c in CASES_FULL_SWEEP],
+)
+def test_reference_instance_full_sweep(spark, xml, xsd, version, expected):
+    """With these, EVERY XML instance in the reference's testfiles list
+    (57 of 57) validates with exact parity."""
+    assert count_errors(spark, xml, xsd, version=version) == expected
+
+
 def test_structural_kinds(spark):
     """vehicles-3: one char-data block (cars), one undeclared attribute
     (color on car), one char-data block (bikes)."""

@@ -649,3 +649,123 @@ def test_row_detection_through_complex_content():
     c = compile_xsd(src)
     assert "row" in c.specs
     assert c.parent_of["row"] == "doc"
+
+
+def test_recursive_type_cycle_is_cut():
+    """Mutually recursive element references (import-case4 shape) compile
+    without RecursionError: the cycle is cut, recorded in restrictions AND
+    skipped paths (no-silent-drop contract)."""
+    src = wrap("""
+      <xs:element name="a" type="aT"/>
+      <xs:element name="b" type="bT"/>
+      <xs:complexType name="aT"><xs:sequence>
+        <xs:element ref="b" minOccurs="0"/>
+      </xs:sequence></xs:complexType>
+      <xs:complexType name="bT"><xs:sequence>
+        <xs:element ref="a" minOccurs="0"/>
+      </xs:sequence></xs:complexType>
+    """)
+    c = compile_xsd(src)
+    assert any("cycle cut" in r for r in c.restrictions)
+    assert any(c.skipped_paths.get(t) for t in c.specs)
+
+
+def test_alternative_arm_outside_subset_is_loud():
+    """An xs:alternative whose test is richer than @attr='v' records a
+    restriction (never silently dropped) while supported arms compile."""
+    src = wrap("""
+      <xs:element name="root"><xs:complexType><xs:sequence>
+        <xs:element ref="node" maxOccurs="unbounded"/>
+      </xs:sequence></xs:complexType></xs:element>
+      <xs:element name="node" type="baseT">
+        <xs:alternative test="@kind='x'" type="xT"/>
+        <xs:alternative test="count(@kind) > 0" type="yT"/>
+      </xs:element>
+      <xs:complexType name="baseT">
+        <xs:attribute name="kind" type="xs:string"/>
+      </xs:complexType>
+      <xs:complexType name="xT"><xs:complexContent>
+        <xs:extension base="baseT">
+          <xs:attribute name="x" type="xs:string" use="required"/>
+        </xs:extension>
+      </xs:complexContent></xs:complexType>
+      <xs:complexType name="yT"><xs:complexContent>
+        <xs:extension base="baseT">
+          <xs:attribute name="y" type="xs:string"/>
+        </xs:extension>
+      </xs:complexContent></xs:complexType>
+    """)
+    c = compile_xsd(src, version="1.1")
+    arms = c.alt_overlays.get("node", ())
+    assert len(arms) == 1 and arms[0]["attr"] == "kind" \
+        and arms[0]["value"] == "x"
+    assert any("outside" in r and "alternative" in r for r in c.restrictions)
+
+
+def test_builtin_range_is_intrange_facet():
+    """Builtin integer widths compile to the Column-op IntRange facet (no
+    SQL string — survives hyphenated names and ListOf item lambdas)."""
+    src = wrap("""
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="r" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:attribute name="n" type="xs:byte"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    facets = next(
+        col.facets for col in c.specs["r"].columns if col.name == "n"
+    )
+    rng = [f for f in facets if isinstance(f, S.IntRange)]
+    assert rng and rng[0].lo == -128 and rng[0].hi == 127
+
+
+def test_list_length_counts_items():
+    """length/minLength/maxLength restricting a LIST type fold into the
+    ListOf item-count bounds, not character length (issue_311 'point')."""
+    src = wrap("""
+      <xs:simpleType name="pair">
+        <xs:restriction>
+          <xs:simpleType><xs:list itemType="xs:decimal"/></xs:simpleType>
+          <xs:length value="2"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="r" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:attribute name="p" type="pair" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    facets = next(
+        col.facets for col in c.specs["r"].columns if col.name == "p"
+    )
+    assert not any(isinstance(f, S.Length) for f in facets)
+    lof = [f for f in facets if isinstance(f, S.ListOf)]
+    assert lof and lof[0].min_items == 2 and lof[0].max_items == 2
+
+
+def test_nillable_emits_nil_column_and_conditional_required():
+    """nillable='true' on a required singleton child: Required becomes
+    conditional on the __nil column; a Nillable facet + the nil column's
+    '@xsi:nil' path are emitted (issue_243)."""
+    src = wrap("""
+      <xs:element name="doc"><xs:complexType><xs:sequence>
+        <xs:element name="r" maxOccurs="unbounded">
+          <xs:complexType><xs:sequence>
+            <xs:element name="v" type="xs:string" nillable="true"/>
+          </xs:sequence></xs:complexType>
+        </xs:element>
+      </xs:sequence></xs:complexType></xs:element>
+    """)
+    c = compile_xsd(src)
+    cols = {col.name: col for col in c.specs["r"].columns}
+    assert "v__nil" in cols
+    assert tuple(c.column_paths["r"]["v__nil"]) == ("v", "@xsi:nil")
+    req = [f for f in cols["v"].facets if isinstance(f, S.Required)]
+    assert req and req[0].when and "v__nil" in req[0].when
+    assert any(isinstance(f, S.Nillable) for f in cols["v"].facets)
