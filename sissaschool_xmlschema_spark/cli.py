@@ -104,6 +104,77 @@ def cmd_decode(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_validate_xml(args: argparse.Namespace) -> int:
+    """``xmlschema-validate`` analogue (reference cli.py:235-279): validate
+    raw XML files against an XSD.  Exit status = total error count; each
+    file prints '<file> is valid' / 'is not valid', -v lists violations."""
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        validate_xml_instance,
+    )
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    spark = _session("xmlschema-spark-validate-xml")
+    compiled = compile_xsd(args.schema, version=args.version)
+    tot_errors = 0
+    for filepath in args.files:
+        try:
+            rows = validate_xml_instance(spark, filepath, compiled).collect()
+        except Exception as err:  # malformed file: counts once, like the CLI
+            tot_errors += 1
+            sys.stderr.write(f"{err}\n")
+            continue
+        if not rows:
+            sys.stdout.write(f"{filepath} is valid\n")
+        else:
+            tot_errors += len(rows)
+            sys.stderr.write(f"{filepath} is not valid\n")
+            if args.verbosity > 0:
+                for r in rows:
+                    sys.stderr.write(
+                        f"  {r['path']}: {r['constraint_id']}: "
+                        f"{r['reason']}\n"
+                    )
+    return tot_errors
+
+
+def cmd_xml2jsonl(args: argparse.Namespace) -> int:
+    """``xmlschema-xml2json`` analogue, Spark-shaped: decode each row-element
+    table of every XML file to typed JSON Lines part files under
+    <output>/<file-stem>/<table>/ — the document-per-line layout a
+    100 TB pipeline wants, rather than one monolithic JSON document."""
+    import os as _os
+
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        validate_xml_instance,
+        xml_instance_tables,
+    )
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    spark = _session("xmlschema-spark-xml2jsonl")
+    compiled = compile_xsd(args.schema, version=args.version)
+    tot_errors = 0
+    for filepath in args.files:
+        stem = _os.path.splitext(_os.path.basename(filepath))[0]
+        try:
+            tables = xml_instance_tables(spark, filepath, compiled)
+            n_viol = validate_xml_instance(spark, filepath, compiled).count()
+        except Exception as err:
+            tot_errors += 1
+            sys.stderr.write(f"error with {filepath}: {err}\n")
+            continue
+        for tname, df in tables.items():
+            df.write.mode("overwrite").json(
+                f"{args.output}/{stem}/{tname}"
+            )
+        if n_viol:
+            tot_errors += n_viol
+            print(f"{filepath} converted to {args.output}/{stem} "
+                  f"with {n_viol} errors")
+        else:
+            print(f"{filepath} converted to {args.output}/{stem}")
+    return tot_errors
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sissaschool-xmlschema-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -132,6 +203,28 @@ def main(argv=None) -> int:
                    help="name:dtype[:fmt], repeatable")
     d.add_argument("--json", action="store_true", help="write JSON not parquet")
     d.set_defaults(fn=cmd_decode)
+
+    vx = sub.add_parser(
+        "validate-xml",
+        help="validate raw XML files against an XSD "
+             "(xmlschema-validate analogue; exit status = error count)",
+    )
+    vx.add_argument("-v", dest="verbosity", action="count", default=0)
+    vx.add_argument("--schema", required=True, help="path to an XSD schema")
+    vx.add_argument("--version", default="1.0", choices=("1.0", "1.1"))
+    vx.add_argument("files", nargs="+", metavar="XML_FILE")
+    vx.set_defaults(fn=cmd_validate_xml)
+
+    xj = sub.add_parser(
+        "xml2jsonl",
+        help="decode XML files to typed JSON Lines tables "
+             "(xmlschema-xml2json analogue, document-per-line layout)",
+    )
+    xj.add_argument("--schema", required=True, help="path to an XSD schema")
+    xj.add_argument("--version", default="1.0", choices=("1.0", "1.1"))
+    xj.add_argument("-o", "--output", default=".", help="output directory")
+    xj.add_argument("files", nargs="+", metavar="XML_FILE")
+    xj.set_defaults(fn=cmd_xml2jsonl)
 
     args = p.parse_args(argv)
     return args.fn(args)

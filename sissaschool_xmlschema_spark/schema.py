@@ -45,14 +45,14 @@ class SparkSchema:
     """
 
     def __init__(self, source: Union[str, S.TableSpec],
-                 table: Optional[str] = None) -> None:
+                 table: Optional[str] = None, version: str = "1.0") -> None:
         self.compiled = None  # CompiledXsd when built from an XSD document
         if isinstance(source, S.TableSpec):
             self.spec: S.TableSpec = source
         elif source.lstrip().startswith("<") or str(source).endswith(".xsd"):
             from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
 
-            self.compiled = compile_xsd(source)
+            self.compiled = compile_xsd(source, version=version)
             self.spec = self.compiled.spec(table)
         else:
             self.spec = load_spec(source)
