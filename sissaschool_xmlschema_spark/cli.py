@@ -175,6 +175,87 @@ def cmd_xml2jsonl(args: argparse.Namespace) -> int:
     return tot_errors
 
 
+def cmd_json2xml(args: argparse.Namespace) -> int:
+    """``xmlschema-json2xml`` analogue: re-encode ``xml2jsonl`` output
+    (<input>/<stem>/<table>/ JSON Lines) back into XML documents under
+    <output>/<stem>.xml, inverting the reader's path flattening via
+    ``encode_table_xml``.  Covers the flat repeated-row subset (each
+    table's rows nest inside their container element, containers inside
+    the schema's root global element); each output document re-validates
+    against the same schema before writing — validation errors count into
+    the exit status like the reference CLI."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        validate_xml_instance,
+    )
+    from sissaschool_xmlschema_spark.sources.xml_io import encode_table_xml
+    from sissaschool_xmlschema_spark.xsd_compile import compile_xsd
+
+    spark = _session("xmlschema-spark-json2xml")
+    compiled = compile_xsd(args.schema, version=args.version)
+    parents = set(compiled.parent_of.values())
+    roots = sorted(
+        compiled.global_elements - set(compiled.specs) - parents
+    )
+    root = args.root or (roots[0] if len(roots) == 1 else None)
+    _os.makedirs(args.output, exist_ok=True)
+    tot_errors = 0
+    for stem in sorted(_os.listdir(args.input)):
+        sdir = _os.path.join(args.input, stem)
+        if not _os.path.isdir(sdir):
+            continue
+        containers: dict = {}
+        # specs insertion order = compile (schema model) order, so the
+        # containers re-serialize in the sequence the schema declares
+        for t in compiled.specs:
+            tdir = _os.path.join(sdir, t)
+            if not _os.path.isdir(tdir):
+                continue
+            df = spark.read.json(tdir)
+            x = encode_table_xml(df, compiled.column_paths.get(t, {}), t)
+            body = (
+                x.groupBy("doc_id")
+                .agg(F.array_join(F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("row_idx"), F.col("xml"))
+                    )),
+                    lambda s: s.xml,
+                ), "").alias("body"))
+            )
+            # one row per source document — bounded by the file count the
+            # CLI was invoked on, not by data volume
+            for r in body.collect():
+                parent = compiled.parent_of.get(t, t)
+                containers.setdefault(parent, []).append(r["body"])
+        inner = "".join(
+            body if p in compiled.specs or p == root
+            else f"<{p}>{body}</{p}>"
+            for p, bodies in containers.items()
+            for body in ["".join(bodies)]
+        )
+        xmlns = (
+            f' xmlns="{compiled.target_namespace}"'
+            if compiled.target_namespace else ""
+        )
+        doc = (
+            f"<{root}{xmlns}>{inner}</{root}>" if root
+            else inner
+        )
+        out_path = _os.path.join(args.output, f"{stem}.xml")
+        with open(out_path, "w", encoding="utf-8") as fp:
+            fp.write('<?xml version="1.0" encoding="UTF-8"?>' + doc)
+        n_viol = validate_xml_instance(spark, out_path, compiled).count()
+        if n_viol:
+            tot_errors += n_viol
+            print(f"{sdir} encoded to {out_path} with {n_viol} errors")
+        else:
+            print(f"{sdir} encoded to {out_path}")
+    return tot_errors
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sissaschool-xmlschema-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -225,6 +306,21 @@ def main(argv=None) -> int:
     xj.add_argument("-o", "--output", default=".", help="output directory")
     xj.add_argument("files", nargs="+", metavar="XML_FILE")
     xj.set_defaults(fn=cmd_xml2jsonl)
+
+    jx = sub.add_parser(
+        "json2xml",
+        help="re-encode xml2jsonl output back to XML documents "
+             "(xmlschema-json2xml analogue; re-validates each document)",
+    )
+    jx.add_argument("--schema", required=True, help="path to an XSD schema")
+    jx.add_argument("--version", default="1.0", choices=("1.0", "1.1"))
+    jx.add_argument("--root", default=None,
+                    help="document root element (default: the schema's "
+                         "single non-container global element)")
+    jx.add_argument("--input", required=True,
+                    help="xml2jsonl output directory")
+    jx.add_argument("-o", "--output", default=".", help="output directory")
+    jx.set_defaults(fn=cmd_json2xml)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -138,6 +138,52 @@ def encode_conversation_xml(
     )
 
 
+def encode_table_xml(
+    df: DataFrame,
+    column_paths: Dict[str, tuple],
+    row_tag: str,
+    out_col: str = "xml",
+) -> DataFrame:
+    """Append ``out_col`` holding each flat row-element-table row as one
+    XML element, inverting the instance reader's path flattening
+    (``xsd_compile.CompiledXsd.column_paths``; reference encode direction
+    validators/schemas.py:1761 / converters round-trip).
+
+    Attribute-backed columns ('@' steps) render as XML attributes via
+    Spark's ``to_xml`` attributePrefix convention ('_'); an empty path ()
+    is the element's own text (valueTag ``_VALUE``); multi-step paths nest
+    as child structs.  Field order follows ``column_paths`` insertion
+    order — the compiler records columns in schema model order, so an
+    encoded sequence re-validates against the same schema.  Row-local
+    (one projection), no shuffle.
+    """
+    tree: dict = {}
+    for col, path in column_paths.items():
+        segs = list(path)
+        if not segs:
+            tree["_VALUE"] = col
+            continue
+        cur = tree
+        for s in segs[:-1]:
+            cur = cur.setdefault(s, {})
+        leaf = segs[-1]
+        key = "_" + leaf[1:] if leaf.startswith("@") else leaf
+        cur[key] = col
+
+    def build(node: dict):
+        fields = []
+        for k, v in node.items():
+            inner = build(v) if isinstance(v, dict) else (
+                F.col(v).cast("string")
+            )
+            fields.append(inner.alias(k))
+        return F.struct(*fields)
+
+    return df.withColumn(
+        out_col, F.to_xml(build(tree), _xml_options(row_tag))
+    )
+
+
 def decode_turn_xml(
     df: DataFrame,
     xml_col: str = "xml",

@@ -56,3 +56,35 @@ def test_xml2jsonl_error_count_in_exit_status(spark, tmp_path, capsys):
     assert rc == 2
     out, _err = capsys.readouterr()
     assert "with 2 errors" in out
+
+
+def test_json2xml_roundtrip(spark, tmp_path, capsys):
+    """xml2jsonl -> json2xml: the re-encoded document re-validates clean
+    and decodes to the same typed rows as the source (the reference
+    CLI trio's round-trip property)."""
+    from sissaschool_xmlschema_spark.sources.xml_instance import (
+        xml_instance_tables,
+    )
+
+    jdir, xdir = tmp_path / "j", tmp_path / "x"
+    assert main([
+        "xml2jsonl", "--schema", f"{VB}/vehicles.xsd",
+        "-o", str(jdir), f"{VB}/vehicles.xml",
+    ]) == 0
+    assert main([
+        "json2xml", "--schema", f"{VB}/vehicles.xsd",
+        "--input", str(jdir), "-o", str(xdir),
+    ]) == 0  # zero validation errors on the re-encoded document
+    doc = (xdir / "vehicles.xml").read_text()
+    assert doc.index("<cars>") < doc.index("<bikes>")  # schema model order
+    tables = xml_instance_tables(
+        spark, str(xdir / "vehicles.xml"), f"{VB}/vehicles.xsd"
+    )
+    cars = sorted(
+        (r["make"], r["model"]) for r in tables["car"].collect()
+    )
+    assert cars == [("Porsche", "911"), ("Porsche", "911")]
+    bikes = sorted(
+        (r["make"], r["model"]) for r in tables["bike"].collect()
+    )
+    assert bikes == [("Harley-Davidson", "WL"), ("Yamaha", "XS650")]
