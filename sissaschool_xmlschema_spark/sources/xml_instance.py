@@ -137,6 +137,16 @@ def _local_of(field_name: str) -> tuple:
     return local, is_attr, prefix
 
 
+def _is_xsi_machinery(field_name: str, nsmap: dict) -> bool:
+    """True for an attribute field in the XSI namespace under ANY bound
+    prefix (issue_314 binds it to ``b:``): xsi:type/nil/schemaLocation are
+    instance machinery, never undeclared content."""
+    local, is_attr, pfx = _local_of(field_name)
+    if not is_attr or not pfx:
+        return False
+    return pfx == "xsi" or nsmap.get(pfx) == _XSI_URI
+
+
 def _ns_admits(ns_set: str, uri, target_ns: str) -> bool:
     """One wildcard namespace-set test (wildcards.py:95-164).
 
@@ -295,7 +305,8 @@ class _TableReader:
 
     def walk(self, stype: T.StructType, base: str, path: tuple) -> None:
         for sf in stype.fields:
-            if sf.name.startswith("_xmlns") or sf.name.startswith("_xsi:"):
+            if sf.name.startswith("_xmlns") or sf.name.startswith("_xsi:") \
+                    or _is_xsi_machinery(sf.name, self.nsmap):
                 continue  # namespace/schema-location machinery, not data
             col = F.col(f"{base}`{sf.name}`")
             if sf.name == "_VALUE":
@@ -335,7 +346,8 @@ class _TableReader:
                     names = dt.fieldNames()
                     for inner in names:
                         if inner == "_VALUE" or inner.startswith("_xmlns") \
-                                or inner.startswith("_xsi:"):
+                                or inner.startswith("_xsi:") \
+                                or _is_xsi_machinery(inner, self.nsmap):
                             # xsi:nil on a nillable declaration extracts to
                             # its compiled __nil column (issue_243); other
                             # xsi machinery stays skipped
@@ -548,6 +560,58 @@ def _flatten_nested(spark, xml_path, compiled, name, prefix, doc):
             order_val.alias(spec.order_col),
         )
         return flat, parts
+
+    # xsi:type overlays on the nested table's own rows (issue_314:
+    # <item b:type="Concrete..."/> below a document row) — same pattern
+    # as _flatten_one's row-element overlays, with the composite
+    # scope/order of this nesting level
+    overlays_n = getattr(compiled, "xsi_overlays", {}).get(name, {})
+    if overlays_n:
+        xf = _xsi_type_field(rtype, nsmap)
+        if xf is not None:
+            xcol = F.col(f"_row.`{xf}`")
+            xsi = _xsi_local(xcol)
+            declared = getattr(compiled, "declared_types", {}).get(name)
+            known = set(overlays_n) | ({declared} if declared else set())
+            for tname, ov in overlays_n.items():
+                odf = rows.filter(xsi == tname)
+                ordr = _TableReader(
+                    name, ov["spec"], ov["column_paths"], ov["skipped"],
+                    parent, doc,
+                    wildcards=ov["wildcards"], mixed=ov["mixed"],
+                    target_ns=getattr(compiled, "target_namespace", ""),
+                    nsmap=nsmap,
+                    globals_=getattr(compiled, "global_elements",
+                                     frozenset()),
+                )
+                ordr.walk(rtype, "_row.", ())
+                for cond, sel in ordr.struct_viols:
+                    parts.append(
+                        odf.filter(cond).select(
+                            F.lit(doc).alias("conv_id"), *sel
+                        )
+                    )
+                flat_o = odf.select(*[
+                    (ordr.extract[c.name] if c.name in ordr.extract
+                     else F.lit(None).cast("string")).alias(c.name)
+                    for c in ov["spec"].columns
+                ], scope_val.alias(spec.scope_col),
+                    order_val.alias(spec.order_col))
+                parts.append(validate(flat_o, ov["spec"]).violations)
+            parts.append(
+                rows.filter(
+                    xcol.isNotNull() & ~xsi.isin(list(known))
+                ).select(
+                    F.lit(doc).alias("conv_id"),
+                    *_viol(name, parent, "structure:unknown-xsi-type",
+                           xcol,
+                           f"xsi:type on '{name}' does not resolve to a "
+                           "compiled type (elements.py:657-682)"),
+                )
+            )
+            rows = rows.filter(
+                xcol.isNull() | ~xsi.isin(list(overlays_n))
+            )
 
     rdr = _TableReader(
         name, spec, paths,

@@ -849,6 +849,10 @@ def _flatten_type_body(ct: ET.Element, ctx: _Ctx, prefix: str, cols: list,
                             parent=table, name=name,
                             path=steps + (name,), kind="complex",
                             payload=payload,
+                            # declared type NAME: xsi:type overlays on
+                            # nested tables resolve derived types from it
+                            # (issue_314)
+                            type_name=_local(decl.get("type") or ""),
                             eff_min=0 if child_in_choice
                             else path_min * min_occ
                             * (gmin if g_repeat else 1),
@@ -995,7 +999,14 @@ def _flatten_field(selector_rest: list, field_tokens: list) -> str:
 
 
 def _parse_schema_text(text: str, what: str) -> ET.Element:
-    root = ET.parse(io.StringIO(text)).getroot()
+    try:
+        root = ET.parse(io.StringIO(text)).getroot()
+    except ET.ParseError as err:
+        # a malformed schema DOCUMENT is a compile error with a clear
+        # source, not a raw parser traceback (resources/malformed.xsd)
+        raise XsdCompileError(
+            f"{what}: not well-formed XML ({err})"
+        ) from err
     if root.tag != _xs("schema"):
         raise XsdCompileError(
             f"{what}: root element is {root.tag!r}, not xs:schema"
@@ -1312,12 +1323,22 @@ def compile_xsd(
                       in_choice=False, table=gname)
         # zero columns is still a table when the element's content is
         # schema-declared but not column-izable: a recursion cut
-        # (import-case4) or wildcard/mixed open content (issue_298's
-        # Freeform) — the instance reader needs the markers kept
+        # (import-case4), wildcard/mixed open content (issue_298's
+        # Freeform), or repeated descendants that queued NESTED tables
+        # below this document element (issue_190's root -> a -> choice*)
+        # — the instance reader needs the markers / child tables kept
+        new_nested = [
+            e for e in ctx.pending_nested[n_pend:]
+            if e["name"] not in tables and e["name"] not in detected_simple
+        ]
         declared_open = (
             ctx.cycle_cuts > n_cuts
             or len(ctx.wildcards.get(gname, ())) > n_wild
             or set(ctx.mixed.get(gname, ())) != prev_mixed
+            # repeated descendants needing NEW nested tables (issue_190);
+            # children that already ARE row tables (vehicles' cars/car)
+            # contribute nothing — the row path validates them
+            or bool(new_nested)
         )
         if not dcols and not declared_open:
             del ctx.pending_nested[n_pend:]
@@ -1565,6 +1586,37 @@ def compile_xsd(
             parent_table=ent["parent"], rel_path=tuple(ent["path"]),
             xsi_type=ent.get("xsi_type"),
         )
+        # xsi:type overlays for the NESTED table's own derived types
+        # (issue_314: <item b:type="Concrete..."> below a doc row): same
+        # overlay shape as row elements, applied by _flatten_nested
+        d_local = ent.get("type_name") or ""
+        if d_local:
+            declared_types[nname] = d_local
+        for T in derived_of.get(d_local, ()):
+            key = f"{nname}@{T}"
+            ocols2: list = []
+            ouniq2: list = []
+            n_pend2 = len(ctx.pending_nested)
+            _flatten_type(ctx.complex_types[T], ctx, "", ocols2, ouniq2,
+                          scope_col, in_choice=False, table=key)
+            del ctx.pending_nested[n_pend2:]  # not supported below overlays
+            xsi_overlays.setdefault(nname, {})[T] = dict(
+                spec=S.TableSpec(
+                    name=key,
+                    scope_col=scope_col,
+                    order_col=order_col,
+                    columns=tuple(
+                        S.ColumnSpec(c.name, tuple(c.facets))
+                        for c in ocols2
+                    ),
+                    identities=tuple(ouniq2),
+                    row_assertions=tuple(ctx.assertions.get(key, ())),
+                ),
+                column_paths={c.name: c.path for c in ocols2},
+                skipped=frozenset(ctx.skipped.get(key, ())),
+                wildcards=tuple(ctx.wildcards.get(key, ())),
+                mixed=frozenset(ctx.mixed.get(key, ())),
+            )
 
     # --- identity constraints ---------------------------------------------
     # constraints may sit on ANY element declaration; resolve each selector

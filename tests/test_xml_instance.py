@@ -695,3 +695,40 @@ def test_substitution_members_in_document(spark, tmp_path):
     only = tmp_path / "only.xml"
     only.write_text('<catalog><widget sku="b" gears="1"/></catalog>')
     assert count_errors(spark, str(only), c) == 0
+
+
+def test_issue_190_nested_only_schema(spark):
+    """A schema whose ONLY repeated elements sit below second-level
+    singletons (root -> a/b -> choice*): the root still compiles (to a
+    zero-column document table) and the repeated descendants validate
+    through their nested tables — issue_190 validates clean."""
+    B = f"{IB}/issue_190"
+    c = compile_xsd(f"{B}/issue_190.xsd")
+    assert "root" in c.specs
+    assert {"c", "d", "e"} <= set(c.specs)
+    assert count_errors(spark, f"{B}/issue_190.xml", c) == 0
+
+
+def test_issue_314_xsi_type_on_nested_table(spark):
+    """xsi:type on a NESTED table's rows, with the XSI namespace bound to
+    a non-'xsi' prefix (b:type): the derived type's overlay supplies
+    attr_2 and the b:type attribute is machinery, not undeclared content
+    — issue_314 validates clean."""
+    B = f"{IB}/issue_314"
+    assert count_errors(spark, f"{B}/issue_314.xml",
+                        f"{B}/issue_314.xsd") == 0
+
+
+def test_malformed_schema_document_is_compile_error():
+    """A non-well-formed .xsd raises XsdCompileError with the source
+    named, not a raw ElementTree ParseError (resources/malformed.xsd)."""
+    from sissaschool_xmlschema_spark.xsd_compile import XsdCompileError
+
+    try:
+        compile_xsd(
+            "/root/reference/tests/test_cases/resources/malformed.xsd"
+        )
+    except XsdCompileError as e:
+        assert "not well-formed" in str(e)
+    else:
+        raise AssertionError("malformed schema compiled")
