@@ -188,6 +188,35 @@ def _lower(facet: S.Facet, c: Column, column: str) -> Tuple[Column, str]:
             "not a valid base64Binary lexical form"
         )
 
+    if isinstance(facet, S.BinaryLength):
+        # octet count from the lexical form (facets.py binary lengths):
+        # hex = chars/2; base64 = 3*chars/4 minus '='-padding.  Malformed
+        # lexicals are HexBinary/Base64Binary's violation, not this one —
+        # the formula is only meaningful on well-formed values, so gate on
+        # the same lexical shape.
+        if facet.codec == "hex":
+            well = c.rlike("^([0-9a-fA-F]{2})*$")
+            n = F.length(c) / F.lit(2)
+        else:
+            b64 = ("^(?:[A-Za-z0-9+/]{4})*"
+                   "(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+            well = c.rlike(b64)
+            pad = (
+                F.when(c.endswith("=="), F.lit(2))
+                .when(c.endswith("="), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            n = F.length(c) * 3 / F.lit(4) - pad
+        pred = F.lit(True)
+        if facet.lo is not None:
+            pred = pred & (n >= facet.lo)
+        if facet.hi is not None:
+            pred = pred & (n <= facet.hi)
+        return _null_ok(c, ~well | pred), (
+            f"binary length (octets) must be in "
+            f"[{facet.lo}, {facet.hi}]"
+        )
+
     if isinstance(facet, S.IntRange):
         # builtin integer width (builtins.py:216-330): tolerant decimal
         # cast, then value-space bounds.  A non-castable value yields NULL

@@ -195,6 +195,19 @@ class Nillable(Facet):
 
 
 @dataclass(frozen=True)
+class BinaryLength(Facet):
+    """length/minLength/maxLength on BINARY types count decoded OCTETS,
+    not lexical characters (reference facets.py length on
+    hexBinary/base64Binary: 'AABBCCDD' has length 4).  Bounds computed
+    row-locally from the lexical form: hex = chars/2; base64 =
+    3*chars/4 minus padding."""
+
+    lo: Optional[int] = None
+    hi: Optional[int] = None
+    codec: str = "hex"  # 'hex' | 'base64'
+
+
+@dataclass(frozen=True)
 class IntRange(Facet):
     """Builtin integer width bounds (xs:byte/short/int/long/unsigned*,
     builtins.py:216-330): value-space comparison after a tolerant decimal

@@ -44,6 +44,7 @@ _FACETS = {
         S.BooleanLexical, S.Required, S.Prohibited, S.FixedValue,
         S.Assertion, S.HexBinary, S.Base64Binary, S.XsdError, S.ListOf,
         S.UnionOf, S.NotInSet, S.Nillable, S.BuiltinLexical, S.IntRange,
+        S.BinaryLength,
     )
 }
 _IDENTITIES = {c.__name__: c for c in (S.Unique, S.Key, S.Keyref)}

@@ -417,6 +417,31 @@ def _compile_simple(node_or_ref, ctx: _Ctx, where: str = "") -> tuple:
                 min_items=lo, max_items=hi,
             ))
             facets = rest
+        codec = (
+            "hex" if any(isinstance(f, S.HexBinary) for f in facets)
+            else "base64"
+            if any(isinstance(f, S.Base64Binary) for f in facets)
+            else None
+        )
+        if codec is not None:
+            # length facets on BINARY types count decoded octets, not
+            # lexical characters (decoder hexCode length=4 admits
+            # 'AABBCCDD'); runs after the list fold, so list-item
+            # counting wins when both apply
+            lo = hi = None
+            rest2: list = []
+            for f in facets:
+                if isinstance(f, S.Length):
+                    lo = hi = f.value
+                elif isinstance(f, S.MinLength):
+                    lo = f.value
+                elif isinstance(f, S.MaxLength):
+                    hi = f.value
+                else:
+                    rest2.append(f)
+            if lo is not None or hi is not None:
+                rest2.append(S.BinaryLength(lo, hi, codec=codec))
+            facets = rest2
         return tuple(facets)
 
     lst = st.find(_xs("list"))

@@ -114,6 +114,18 @@ CASES = [
     Case("int-range", 2, [("d", 0, "127"), ("d", 1, "128"),
                           ("d", 2, "-129"), ("d", 3, "x"), ("d", 4, None)],
          facets=(S.IntRange(-128, 127),), constraint="facet:v:IntRange"),
+    # binary lengths count decoded OCTETS: 'AABBCCDD' = 4 octets passes
+    # length=4; 'AABB' = 2 fails; malformed hex is HexBinary's violation
+    Case("binary-length-hex", 1,
+         [("d", 0, "AABBCCDD"), ("d", 1, "AABB"), ("d", 2, "xyz"),
+          ("d", 3, None)],
+         facets=(S.BinaryLength(4, 4, codec="hex"),),
+         constraint="facet:v:BinaryLength"),
+    # base64 'YWJjZA==' decodes to 4 octets (in [3,8]); 'YQ==' is 1 (out)
+    Case("binary-length-b64", 1,
+         [("d", 0, "YWJjZA=="), ("d", 1, "YQ=="), ("d", 2, None)],
+         facets=(S.BinaryLength(3, 8, codec="base64"),),
+         constraint="facet:v:BinaryLength"),
     Case("base64-binary", 1, [("d", 0, "YWJjZA=="), ("d", 1, "YWJjZA=")],
          facets=(S.Base64Binary(),), constraint="facet:v:Base64Binary"),
     Case("xsd-error", 1, [("d", 0, None), ("d", 1, "anything")],

@@ -732,3 +732,14 @@ def test_malformed_schema_document_is_compile_error():
         assert "not well-formed" in str(e)
     else:
         raise AssertionError("malformed schema compiled")
+
+
+def test_binary_length_counts_octets(spark):
+    """length facets on hexBinary/base64Binary count decoded OCTETS
+    (decoder simple-types.xsd hexCode length=4 admits 'AABBCCDD'):
+    data.xml validates clean, data2.xml keeps its pinned --errors=2."""
+    B = "/root/reference/tests/test_cases/features/decoder"
+    assert count_errors(spark, f"{B}/data.xml",
+                        f"{B}/simple-types.xsd") == 0
+    assert count_errors(spark, f"{B}/data2.xml",
+                        f"{B}/simple-types.xsd") == 2
