@@ -1023,6 +1023,24 @@ def _flatten_field(selector_rest: list, field_tokens: list) -> str:
 # ---------------------------------------------------------------------------
 
 
+def read_xml_text(path) -> str:
+    """Read an XML document honoring its DECLARED encoding (menù-cp1252:
+    ``encoding='CP1252'`` — a UTF-8-only read raises UnicodeDecodeError on
+    legal documents).  Unknown/undeclared encodings fall back to UTF-8
+    with replacement."""
+    with open(path, "rb") as f:
+        data = f.read()
+    m = re.match(
+        rb"""[^>]{0,200}?encoding\s*=\s*["']([A-Za-z0-9._-]+)["']""",
+        data, re.S,
+    )
+    enc = m.group(1).decode("ascii") if m else "utf-8"
+    try:
+        return data.decode(enc)
+    except (LookupError, UnicodeDecodeError):
+        return data.decode("utf-8", "replace")
+
+
 def _parse_schema_text(text: str, what: str) -> ET.Element:
     try:
         root = ET.parse(io.StringIO(text)).getroot()
@@ -1066,8 +1084,7 @@ def _collect_schema_roots(
             if path in visited:
                 return None
             visited.add(path)
-            with open(path, "r", encoding="utf-8") as f:
-                root = _parse_schema_text(f.read(), path)
+            root = _parse_schema_text(read_xml_text(path), path)
             here = os.path.dirname(path)
         roots.append(root)
         for tag in ("include", "import", "redefine", "override"):

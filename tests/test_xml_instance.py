@@ -743,3 +743,14 @@ def test_binary_length_counts_octets(spark):
                         f"{B}/simple-types.xsd") == 0
     assert count_errors(spark, f"{B}/data2.xml",
                         f"{B}/simple-types.xsd") == 2
+
+
+def test_declared_encoding_honored(spark):
+    """A legal CP1252 document (examples/menù-cp1252) validates clean:
+    schema read, prolog sniffers, and the Spark XML charset all honor the
+    DECLARED encoding instead of assuming UTF-8."""
+    d = "/root/reference/tests/test_cases/examples/menù/"
+    assert count_errors(spark, f"{d}menù.xml", f"{d}menù.xsd") == 0
+    assert count_errors(
+        spark, f"{d}menù-cp1252.xml", f"{d}menù-cp1252.xsd"
+    ) == 0
